@@ -1,0 +1,290 @@
+"""E1 — the epoch driver loop: one Spark batch job per scheduling epoch.
+
+Per-epoch dataflow (SURVEY.md §3.1, shuffles labeled):
+
+  pending scan (partition-pruned on status)             [no shuffle]
+  → R1 robots acquisition (left_anti + mapInPandas)
+  → R2 robots gate (broadcast join + array HOF, zero-shuffle)
+  → politeness k (broadcast join budgets)
+  → F5 salted two-stage window-rank pop                 [shuffle 1: (host,salt); shuffle 2: host (pruned)]
+  → F6+X1+X2 fused fetch/parse/extract (mapInPandas)    [narrow]
+  → C1 canonicalize outlinks + intra-epoch dedup window [shuffle 3: url_hash]
+  → D1 bloom probe (cogrouped applyInPandas)            [shuffle 4: part_id]
+  → D2 exact anti-join of maybe-seen rows vs frontier   [shuffle 5: url_hash, bloom-cut]
+  → F7 merge + D3 filter update + L1 lineage → staging writes
+  → K1 atomic manifest commit                           [driver]
+
+Determinism: every ordering decision reduces to the total key
+(priority, depth, url_hash), so the committed tables are identical at any
+parallelism — that is what the pyref-parity tests and the N-vs-4N scaling
+protocol both rely on.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine import seen as seenmod
+from engine.canonicalize import path_expr
+from engine.catalog import SnapshotCatalog
+from engine.fetch import fetch_parse
+from engine.frontier import merge_frontier, pop_frontier, retry_transition
+from engine.lineage import metrics_df, partition_lineage
+from engine.parse import extract_candidates
+from engine.robots import ensure_robots, robots_gate
+from engine.schemas import FRONTIER, POLITENESS_BUDGETS, ROBOTS_RULES
+from engine.seed import seeds_to_frontier
+from engine.synthgraph import GraphConfig, gen_budgets
+
+
+class CrawlEngine:
+    """Spark-native crawl engine over snapshot-versioned (Iceberg-role) tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cfg: GraphConfig,
+        *,
+        n_buckets: int = 64,
+        n_filter_parts: int = 16,
+        salt: int = 16,
+        filter_nbits: int = seenmod.DEFAULT_NBITS,
+        filter_nhash: int = seenmod.DEFAULT_NHASH,
+        use_robots: bool = True,
+        use_seen_filter: bool = True,
+        default_k: int = 1,
+        partition_frontier_by_status: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.n_buckets = n_buckets
+        self.n_filter_parts = n_filter_parts
+        self.salt = salt
+        self.filter_nbits = filter_nbits
+        self.filter_nhash = filter_nhash
+        self.use_robots = use_robots
+        self.use_seen_filter = use_seen_filter
+        self.default_k = default_k
+        self.partition_cols = ["status"] if partition_frontier_by_status else []
+        self.catalog = SnapshotCatalog(spark, root)
+
+    # ------------------------------------------------------------------ init
+    def init_run(self, seeds: list[str] | None = None, seed_path: str | None = None) -> None:
+        """Epoch-0 commit: frontier from seeds, budgets, empty robots, filter."""
+        cat = self.catalog
+        frontier = seeds_to_frontier(self.spark, seeds, self.n_buckets, seed_path)
+        fr_path = cat.stage_path(0, "frontier")
+        self._write(frontier, fr_path, self.partition_cols)
+        frontier = self.spark.read.parquet(fr_path)
+
+        budgets = self.spark.createDataFrame(gen_budgets(self.cfg), POLITENESS_BUDGETS)
+        bud_path = cat.stage_path(0, "politeness_budgets")
+        self._write(budgets, bud_path)
+
+        robots = self.spark.createDataFrame([], ROBOTS_RULES)
+        rob_path = cat.stage_path(0, "robots_rules")
+        self._write(robots, rob_path)
+
+        snapshots = {
+            "frontier": {"path": fr_path, "rows": frontier.count()},
+            "politeness_budgets": {"path": bud_path, "rows": budgets.count()},
+            "robots_rules": {"path": rob_path, "rows": 0},
+        }
+        if self.use_seen_filter:
+            blobs = seenmod.init_filter(
+                self.spark,
+                frontier.select("url_hash"),
+                self.n_filter_parts,
+                self.filter_nbits,
+                self.filter_nhash,
+            )
+            sf_path = cat.stage_path(0, "seen_filter")
+            self._write(blobs, sf_path)
+            snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
+        cat.commit(0, snapshots, appends={}, meta={"cfg": repr(self.cfg)})
+
+    # ----------------------------------------------------------------- epoch
+    def run_epoch(self, epoch: int) -> dict:
+        t0 = time.time()
+        spark, cat, cfg = self.spark, self.catalog, self.cfg
+        frontier = cat.read_snapshot("frontier")
+        budgets = cat.read_snapshot("politeness_budgets")
+
+        pending = frontier.where(F.col("status") == "pending")  # SC3 partition prune
+
+        # --- R1 + R2 ---
+        snapshots: dict = {}
+        if self.use_robots:
+            robots = cat.read_snapshot("robots_rules")
+            robots = ensure_robots(pending, robots, cfg, epoch)
+            rob_path = cat.stage_path(epoch, "robots_rules")
+            self._write(robots, rob_path)  # materialize once, reuse twice
+            robots = spark.read.parquet(rob_path)
+            snapshots["robots_rules"] = {"path": rob_path, "rows": robots.count()}
+            gated = robots_gate(pending.withColumn("path", path_expr()), robots).drop("path")
+        else:
+            gated = pending.withColumn("allowed", F.lit(True))
+        gated = gated.persist()
+        disallowed = gated.where(~F.col("allowed"))
+        eligible = gated.where(F.col("allowed"))
+
+        # --- politeness k + F5 pop ---
+        elig_k = eligible.join(
+            F.broadcast(
+                budgets.select("host", F.col("max_fetches_per_epoch").alias("k"))
+            ),
+            "host",
+            "left",
+        ).fillna({"k": self.default_k})
+        popped = pop_frontier(elig_k, self.salt).persist()
+        crawl_log = popped.select(
+            F.lit(epoch).cast("int").alias("epoch"),
+            "host",
+            "fetch_seq_in_host",
+            "url",
+            "url_hash",
+        )
+
+        # --- F6/X1/X2 ---
+        fetched = fetch_parse(popped, cfg).persist()
+        docs = fetched.where("ok").select(
+            F.col("url").alias("doc_id"),
+            "spans",
+            "url",
+            "host",
+            F.lit(epoch).cast("int").alias("epoch"),
+        )
+        cands = extract_candidates(fetched, cfg, self.n_buckets)
+
+        # --- D1/D2 ---
+        frontier_keys = frontier.select("url_hash")
+        if self.use_seen_filter:
+            seen = cat.read_snapshot("seen_filter")
+            probed = seenmod.probe_filter(cands, seen, self.n_filter_parts).persist()
+            new_rows = seenmod.dedup_new(probed, frontier_keys)
+            n_candidates_df = probed
+        else:
+            new_rows = cands.join(frontier_keys, "url_hash", "left_anti")
+            n_candidates_df = cands
+        inserts = new_rows.select(
+            "url_hash",
+            "url",
+            "host",
+            "host_bucket",
+            "depth",
+            F.col("depth").cast("double").alias("priority"),
+            F.lit(epoch).cast("int").alias("discovered_epoch"),
+            F.lit("pending").alias("status"),
+            F.lit(0).cast("int").alias("retries"),
+            "parent_hash",
+        ).persist()
+
+        # --- F7 merge ---
+        updates = retry_transition(fetched, cfg.max_retries).unionByName(
+            disallowed.select(
+                "url_hash",
+                F.lit("disallowed").alias("new_status"),
+                F.col("retries").alias("new_retries"),
+                F.lit(None).cast("double").alias("new_priority"),
+            )
+        )
+        new_frontier = merge_frontier(
+            frontier.select(*[f.name for f in FRONTIER.fields]), updates, inserts
+        )
+        fr_path = cat.stage_path(epoch, "frontier")
+        self._write(new_frontier, fr_path, self.partition_cols)
+        committed_frontier = spark.read.parquet(fr_path)
+
+        # --- D3 filter update ---
+        if self.use_seen_filter:
+            new_blobs = seenmod.update_filter(
+                seen, inserts.select("url_hash"), self.n_filter_parts, epoch
+            )
+            sf_path = cat.stage_path(epoch, "seen_filter")
+            self._write(new_blobs, sf_path)
+            snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
+
+        # --- metrics (definitions shared with pyref.oracle) ---
+        n_popped = popped.count()
+        ok_counts = {r["ok"]: r["n"] for r in fetched.groupBy("ok").agg(F.count("*").alias("n")).collect()}
+        n_ok = int(ok_counts.get(True, 0))
+        n_fail = int(ok_counts.get(False, 0))
+        n_links = int(
+            fetched.where("ok").agg(F.coalesce(F.sum(F.size("outlinks")), F.lit(0)).alias("s")).collect()[0]["s"]
+        )
+        n_cands = n_candidates_df.count()
+        n_new = inserts.count()
+        n_disallowed = disallowed.count()
+        pending_end = committed_frontier.where(F.col("status") == "pending").count()
+        wall = time.time() - t0
+        metrics = {
+            "urls_popped": n_popped,
+            "urls_fetch_ok": n_ok,
+            "urls_fetch_fail": n_fail,
+            "docs_parsed": n_ok,
+            "outlinks_extracted": n_links,
+            "outlinks_candidates": n_cands,
+            "outlinks_new": n_new,
+            "disallowed": n_disallowed,
+            "pending_end": pending_end,
+            "wall_ms": wall * 1000.0,
+            "urls_per_sec": (n_popped / wall) if wall > 0 else 0.0,
+        }
+
+        # --- appends: documents, crawl_log, lineage, metrics ---
+        appends = {}
+        in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
+        lineage = (
+            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
+            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
+            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
+        )
+        for name, df, rows in (
+            ("documents", docs, n_ok),
+            ("crawl_log", crawl_log, n_popped),
+            ("lineage", lineage, None),
+            ("metrics", metrics_df(spark, epoch, metrics), len(metrics)),
+        ):
+            path = cat.stage_path(epoch, name)
+            self._write(df, path)
+            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
+
+        # --- K1 atomic commit ---
+        snapshots["frontier"] = {"path": fr_path, "rows": committed_frontier.count()}
+        cat.commit(epoch, snapshots, appends, meta={"metrics": metrics})
+
+        for df in (gated, popped, fetched, inserts):
+            df.unpersist()
+        if self.use_seen_filter:
+            probed.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------------- run
+    def run(self, max_epochs: int, seeds: list[str] | None = None, resume: bool = False) -> list[dict]:
+        """Full crawl: init (or resume) then epoch loop until drained."""
+        if resume:
+            self.catalog.discard_uncommitted()
+            if self.catalog.last_epoch() is None:
+                self.init_run(seeds)
+        else:
+            self.init_run(seeds)
+        start = self.catalog.last_epoch() + 1
+        out = []
+        for epoch in range(start, max_epochs + 1):
+            m = self.run_epoch(epoch)
+            out.append(m)
+            if m["pending_end"] == 0:
+                break
+        return out
+
+    # ---------------------------------------------------------------- helpers
+    @staticmethod
+    def _write(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)

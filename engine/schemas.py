@@ -1,0 +1,125 @@
+"""Canonical Spark schemas (SURVEY.md §1.2 — normative, static, columnar)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# BASELINE.json:15 — fixed verbatim: interleaved text+media span array.
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        # engine-internal extras (nullable, SURVEY.md §1.2)
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("epoch", IntegerType()),
+    ]
+)
+
+FRONTIER = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("host_bucket", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("priority", DoubleType()),
+        StructField("discovered_epoch", IntegerType()),
+        StructField("status", StringType()),
+        StructField("retries", IntegerType()),
+        StructField("parent_hash", LongType()),
+    ]
+)
+
+SEEN_FILTER = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("kind", StringType()),
+        StructField("nbits", LongType()),
+        StructField("nhash", IntegerType()),
+        StructField("bits", BinaryType()),
+        StructField("n_items", LongType()),
+        StructField("epoch", IntegerType()),
+    ]
+)
+
+ROBOTS_RULES = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rule_order", IntegerType()),
+        StructField("allow", BooleanType()),
+        StructField("path_prefix", StringType()),
+        StructField("crawl_delay", DoubleType()),
+        StructField("fetched_epoch", IntegerType()),
+    ]
+)
+
+POLITENESS_BUDGETS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("max_fetches_per_epoch", IntegerType()),
+        StructField("min_delay_s", DoubleType()),
+    ]
+)
+
+CRAWL_LOG = StructType(
+    [
+        StructField("epoch", IntegerType()),
+        StructField("host", StringType()),
+        StructField("fetch_seq_in_host", IntegerType()),
+        StructField("url", StringType()),
+        StructField("url_hash", LongType()),
+    ]
+)
+
+LINEAGE = StructType(
+    [
+        StructField("epoch", IntegerType()),
+        StructField("stage", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("rows_out", LongType()),
+        StructField("input_snapshot", StringType()),
+        StructField("output_snapshot", StringType()),
+    ]
+)
+
+METRICS = StructType(
+    [
+        StructField("epoch", IntegerType()),
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+# Output schema of the fused F6+X1+X2 mapInPandas stage (engine/fetch.py).
+FETCHED = StructType(
+    [
+        StructField("url_hash", LongType()),
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("retries", IntegerType()),
+        StructField("ok", BooleanType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("outlinks", ArrayType(StringType())),
+    ]
+)

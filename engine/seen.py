@@ -1,0 +1,180 @@
+"""D1/D2/D3 — partitioned URL-seen filter sidecar + exact dedup anti-join.
+
+The filter is cross-epoch persistent state (unlike Spark's per-query runtime
+bloom join pruning, which is also enabled — SURVEY.md §4 O8): one bloom blob
+per ``part_id = pmod(url_hash, N_FILTER_PARTS)`` partition, stored as a
+binary column row (SURVEY.md §1.2 seen_filter).  Probe (D1) and update (D3)
+are cogrouped ``applyInPandas`` (UD4) with numpy-vectorized k-hash bit ops —
+no per-row Python (BASELINE.json:6 "per-partition membership via
+Arrow-batched pandas UDFs").
+
+Exactness guarantee: the filter only *routes* — candidates it has definitely
+never seen skip the expensive anti-join against the full frontier key set;
+"maybe seen" candidates (true hits + false positives) still go through the
+exact ``left_anti`` join (D2).  The URL-seen set is therefore exact
+regardless of the filter's false-positive rate (BASELINE.json:6).
+
+At 10^10-URL scale this is the shuffle cut that matters: the frontier key
+set is ~80 GB of url_hash; the anti-join only ever shuffles the (small)
+maybe-seen fraction of each epoch's discoveries, while the blobs
+(N_FILTER_PARTS × nbits/8 bytes) stay partition-aligned with the candidate
+stream — the cogroup shuffles candidates by part_id (1 shuffle) and blobs
+(tiny) only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from engine.schemas import SEEN_FILTER
+
+DEFAULT_NBITS = 1 << 22  # 4 Mbit = 512 KiB per partition blob
+DEFAULT_NHASH = 5
+
+
+def _positions(hashes: np.ndarray, nbits: int, nhash: int) -> np.ndarray:
+    """(n, nhash) bit positions via double hashing over the 64-bit url_hash."""
+    u = hashes.astype(np.int64).view(np.uint64)
+    h1 = u % np.uint64(nbits)
+    h2 = ((u >> np.uint64(31)) | np.uint64(1)) % np.uint64(nbits)
+    i = np.arange(nhash, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(nbits)
+
+
+def _probe_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    member = np.ones(pos.shape[0], dtype=bool)
+    for j in range(pos.shape[1]):
+        p = pos[:, j]
+        member &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+    return member
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, flat >> 3, (np.uint8(1) << (flat & 7).astype(np.uint8)))
+
+
+def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn("part_id", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int"))
+
+
+def init_filter(
+    spark: SparkSession,
+    hashes: DataFrame,
+    n_parts: int,
+    nbits: int = DEFAULT_NBITS,
+    nhash: int = DEFAULT_NHASH,
+) -> DataFrame:
+    """Build blobs for ALL n_parts partitions, seeded with ``hashes``."""
+    # NB: never union null rows into the url_hash column — a nullable int64
+    # batch arrives in pandas as float64 and large hashes silently lose
+    # precision (observed as bloom false negatives -> dedup leaks).
+    seeded = with_part_id(hashes.select("url_hash"), n_parts)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part_id"].iloc[0])
+        bits = np.zeros(nbits // 8, dtype=np.uint8)
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        assert h.dtype == np.int64
+        if len(h):
+            _set_bits(bits, _positions(h, nbits, nhash))
+        return pd.DataFrame(
+            [(part, "bloom", nbits, nhash, bits.tobytes(), len(h), 0)],
+            columns=["part_id", "kind", "nbits", "nhash", "bits", "n_items", "epoch"],
+        )
+
+    built = seeded.groupBy("part_id").applyInPandas(build, SEEN_FILTER)
+
+    # partitions with no seed hashes still need an (empty) blob row
+    parts = spark.range(n_parts).select(F.col("id").cast("int").alias("part_id"))
+    missing = parts.join(built.select("part_id"), "part_id", "left_anti")
+    zero = bytes(nbits // 8)
+    empty_blobs = missing.select(
+        "part_id",
+        F.lit("bloom").alias("kind"),
+        F.lit(nbits).cast("long").alias("nbits"),
+        F.lit(nhash).cast("int").alias("nhash"),
+        F.lit(zero).alias("bits"),
+        F.lit(0).cast("long").alias("n_items"),
+        F.lit(0).cast("int").alias("epoch"),
+    )
+    return built.unionByName(empty_blobs)
+
+
+def probe_filter(candidates: DataFrame, blobs: DataFrame, n_parts: int) -> DataFrame:
+    """D1: adds ``maybe_seen`` to candidates (cogrouped applyInPandas, UD4)."""
+    cands = with_part_id(candidates, n_parts)
+    out_schema = StructType(cands.schema.fields + [StructField("maybe_seen", BooleanType())])
+    cols = cands.columns
+
+    def probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if blob_pdf.empty:  # no blob for this part => nothing ever seen here
+            out = cand_pdf.copy()
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8)
+        nbits = int(blob_pdf["nbits"].iloc[0])
+        nhash = int(blob_pdf["nhash"].iloc[0])
+        assert pd.api.types.is_integer_dtype(cand_pdf["url_hash"]), "url_hash must stay int64"
+        h = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        out = cand_pdf.copy()
+        out["maybe_seen"] = _probe_bits(bits, _positions(h, nbits, nhash))
+        return out
+
+    return (
+        cands.groupBy("part_id")
+        .cogroup(blobs.groupBy("part_id"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def update_filter(blobs: DataFrame, new_hashes: DataFrame, n_parts: int, epoch: int) -> DataFrame:
+    """D3: new blob snapshot with the epoch's inserted hashes OR'd in."""
+    news = with_part_id(new_hashes.select("url_hash"), n_parts)
+
+    def upd(new_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blob_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in SEEN_FILTER.fields])
+        row = blob_pdf.iloc[0]
+        if new_pdf.empty:
+            return blob_pdf[[f.name for f in SEEN_FILTER.fields]]
+        bits = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+        nbits, nhash = int(row["nbits"]), int(row["nhash"])
+        assert pd.api.types.is_integer_dtype(new_pdf["url_hash"]), "url_hash must stay int64"
+        h = new_pdf["url_hash"].to_numpy(dtype=np.int64)
+        _set_bits(bits, _positions(h, nbits, nhash))
+        return pd.DataFrame(
+            [
+                (
+                    int(row["part_id"]),
+                    row["kind"],
+                    nbits,
+                    nhash,
+                    bits.tobytes(),
+                    int(row["n_items"]) + len(h),
+                    epoch,
+                )
+            ],
+            columns=[f.name for f in SEEN_FILTER.fields],
+        )
+
+    return (
+        news.groupBy("part_id")
+        .cogroup(blobs.groupBy("part_id"))
+        .applyInPandas(upd, SEEN_FILTER)
+    )
+
+
+def dedup_new(candidates_probed: DataFrame, frontier_keys: DataFrame) -> DataFrame:
+    """D2: exact dedup.  Bloom-negative rows skip the anti-join entirely;
+    maybe-seen rows are exactly checked against the frontier key set."""
+    definitely_new = candidates_probed.where(~F.col("maybe_seen"))
+    maybe = candidates_probed.where(F.col("maybe_seen"))
+    survivors = maybe.join(frontier_keys.select("url_hash"), "url_hash", "left_anti")
+    return definitely_new.unionByName(survivors).drop("maybe_seen", "part_id")

@@ -1,0 +1,122 @@
+"""Unit tests: C1 vectors, xxh64 parity, robots matching, bloom round-trip,
+catalog SQL shape, and the no-per-row-Python CI gate (SURVEY.md §5.3, §5.7)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from engine.catalog import iceberg_merge_frontier_sql
+from engine.seen import _positions, _probe_bits, _set_bits
+from engine.synthgraph import TINY, robots_allowed, synth_doc
+from engine.urlnorm import canonicalize_url, host_of, path_of
+from engine.xxh64 import xxh64_long, xxh64_str
+
+CANON_VECTORS = [
+    # (raw, expected) — RFC 3986 cases (T-C)
+    ("HTTPS://Host01.Example:443/a/../p?utm_source=x&b=2&a=1#f", "https://host01.example/p?a=1&b=2"),
+    ("http://h.example:80/", "http://h.example/"),
+    ("http://h.example", "http://h.example/"),
+    ("http://h.example:8080/p", "http://h.example:8080/p"),
+    ("https://h.example/%7Euser/%2fx", "https://h.example/~user/%2Fx"),
+    ("https://h.example/a/./b/../c", "https://h.example/a/c"),
+    ("https://h.example/a/b/../../../c", "https://h.example/c"),
+    ("https://user:pw@h.example/p", "https://h.example/p"),
+    ("ftp://h.example/p", None),
+    ("not a url", None),
+    ("", None),
+    ("https://h.example/p?utm_campaign=z", "https://h.example/p"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CANON_VECTORS)
+def test_canonicalize_vectors(raw, want):
+    assert canonicalize_url(raw) == want
+
+
+def test_canonicalize_relative_base():
+    assert canonicalize_url("../x/y", base="https://h.example/a/b/c") == "https://h.example/a/x/y"
+    assert canonicalize_url("/abs", base="https://h.example/a/b") == "https://h.example/abs"
+
+
+def test_host_path_helpers():
+    assert host_of("https://h.example:8080/p/q?a=1") == "h.example"
+    assert path_of("https://h.example:8080/p/q?a=1") == "/p/q"
+    assert path_of("https://h.example/") == "/"
+
+
+def test_xxh64_spark_parity(spark):
+    from pyspark.sql import functions as F
+
+    strs = ["", "a", "https://host0001.example/page/0", "x" * 7, "y" * 33, "héllo ✓"]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s in strs:
+        assert xxh64_str(s) == got[s]
+    longs = [0, 1, -1, 2**62, -(2**62)]
+    got2 = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in longs], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v in longs:
+        assert xxh64_long(v) == got2[v]
+
+
+def test_robots_longest_prefix():
+    rules = [(0, True, "/", 0.0), (1, False, "/private/", 0.0), (2, True, "/private/ok", 0.0)]
+    assert robots_allowed("/page/1", rules)
+    assert not robots_allowed("/private/x", rules)
+    assert robots_allowed("/private/ok/y", rules)  # longer allow wins
+    assert robots_allowed("/anything", [])  # no rules -> allowed
+    # tie -> allow
+    tie = [(0, False, "/p/", 0.0), (1, True, "/p/", 0.0)]
+    assert robots_allowed("/p/x", tie)
+
+
+def test_bloom_roundtrip_and_fpr():
+    rng = np.random.default_rng(42)
+    nbits, nhash = 1 << 20, 5
+    items = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    _set_bits(bits, _positions(items, nbits, nhash))
+    # zero false negatives
+    assert _probe_bits(bits, _positions(items, nbits, nhash)).all()
+    # false-positive rate near theoretical (~1.1% at n/m=0.019, k=5)
+    probe = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, items)]
+    fpr = _probe_bits(bits, _positions(fresh, nbits, nhash)).mean()
+    assert fpr < 0.05
+
+
+def test_synth_doc_offsets_strictly_increasing():
+    for url in [f"https://host{h:04d}.example/page/{p}" for h in range(5) for p in range(5)]:
+        spans, _ = synth_doc(url, TINY)
+        offs = [s[3] for s in spans]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        for kind, text, media, _o in spans:
+            assert (kind == "text") == (text is not None)
+            assert (kind == "media") == (media is not None)
+
+
+def test_iceberg_merge_sql_shape():
+    stmts = iceberg_merge_frontier_sql()
+    assert any("MERGE INTO" in s and "WHEN MATCHED" in s for s in stmts)
+    assert any("WHEN NOT MATCHED THEN INSERT" in s for s in stmts)
+
+
+def test_no_per_row_python_gate():
+    """BASELINE.json:15: vectorized Arrow UDFs only — ban F.udf and .rdd."""
+    engine_dir = Path(__file__).resolve().parent.parent / "engine"
+    banned = re.compile(r"(F\.udf\(|@udf\b|\.rdd\b|PandasUDFType)")
+    for py in engine_dir.glob("*.py"):
+        text = py.read_text()
+        assert not banned.search(text), f"per-row Python or RDD usage in {py.name}"

@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates every parity query from the analytics package
+(SURVEY.md §2.2 relational surface, crawl-operator parity, and the
+training-data pipeline ops); ``oracle_sql()`` carries the matching DuckDB
+SQL where the semantics are SQL-expressible (engine-state ops — bloom
+probe, pandas-UDF canonicalization internals, LSH candidates — are
+registered rows-only and pinned by pytest instead).
+
+``entry(spark)`` is the flagship: the engine's real salted two-stage
+window-rank frontier pop (engine/frontier.py F5) over a frontier
+synthesized from sf0.001 orders.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from analytics import crawl_queries, dedup, multimodal, relational, similarity, text  # noqa: E402
+
+_MODULES = (relational, crawl_queries, dedup, similarity, text, multimodal)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    if _REPO not in (os.environ.get("PYTHONPATH") or "").split(":"):
+        os.environ["PYTHONPATH"] = _REPO + ":" + os.environ.get("PYTHONPATH", "")
+    return crawl_queries.frontier_pop(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for name, fn in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = _with_pythonpath(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB SQL twins for every SQL-expressible query."""
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out
+
+
+def _with_pythonpath(fn):
+    """Engine queries ship pandas-UDF closures to Python workers, which must
+    be able to import engine/ + analytics/ regardless of the driver's env."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pp = os.environ.get("PYTHONPATH") or ""
+        if _REPO not in pp.split(":"):
+            os.environ["PYTHONPATH"] = _REPO + ":" + pp if pp else _REPO
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped

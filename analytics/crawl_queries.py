@@ -1,0 +1,329 @@
+"""Driver-parity queries over the CRAWL operators themselves.
+
+The flagship (``frontier_pop``) runs the engine's real salted two-stage
+window-rank pop (engine/frontier.py F5) over a frontier synthesized
+deterministically from the driver's ``orders`` table, and its DuckDB oracle
+is the *unsalted* textbook per-host top-k — so the driver independently
+proves the skew-defused plan computes the exact spec'd pop order.
+
+``frontier_merge`` and ``robots_longest_prefix`` parity-check F7 and R2 the
+same way.  ``canonicalize_urls`` has a *constructive* oracle: the SQL builds
+the expected canonical string from the same key, independently of the C1
+pandas UDF.  Engine ops whose state DuckDB cannot express (bloom probe,
+synthetic fetch/parse, seed ingest with xxhash64 keys) are registered
+rows-only; their exactness is covered by tests/ (pytest vs pyref oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics.common import load
+from engine import seen as seenmod
+from engine.canonicalize import canonicalize_udf, with_url_keys
+from engine.fetch import fetch_parse
+from engine.frontier import merge_frontier, pop_frontier
+from engine.robots import robots_gate
+from engine.seed import seeds_to_frontier
+from engine.synthgraph import TINY, gen_seed_urls
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _synth_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic frontier derived from orders (shared by pop/merge)."""
+    o = load(spark, sf, "orders")
+    hostnum = F.pmod("o_custkey", F.lit(211))
+    return o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        F.concat(F.lit("h"), F.lpad(hostnum.cast("string"), 4, "0")).alias("host"),
+        F.pmod("o_orderkey", F.lit(4)).cast("int").alias("depth"),
+        (
+            F.pmod("o_orderkey", F.lit(4)).cast("double")
+            + F.pmod("o_orderkey", F.lit(7)).cast("double") * 0.25
+        ).alias("priority"),
+        (F.lit(1) + F.pmod(hostnum, F.lit(5))).cast("int").alias("k"),
+    )
+
+
+_SYNTH_FRONTIER_SQL = """
+  SELECT o_orderkey AS url_hash,
+         'h' || lpad(CAST(o_custkey % 211 AS VARCHAR), 4, '0') AS host,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         CAST(o_orderkey % 4 AS DOUBLE) + CAST(o_orderkey % 7 AS DOUBLE) * 0.25 AS priority,
+         CAST(1 + (o_custkey % 211) % 5 AS INT) AS k
+  FROM orders
+"""
+
+
+@q(
+    "frontier_pop",
+    f"""
+    WITH f AS ({_SYNTH_FRONTIER_SQL}),
+    r AS (SELECT host, url_hash, k,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY priority, depth, url_hash) AS rn
+          FROM f)
+    SELECT host, url_hash, CAST(rn - 1 AS INT) AS fetch_seq_in_host
+    FROM r WHERE rn <= k
+    """,
+)
+def frontier_pop(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 flagship: salted two-stage window-rank pop == plain per-host top-k.
+
+    The Spark side runs engine.frontier.pop_frontier with salt fan-out 16
+    (the skew-defused production plan); the oracle is the unsalted spec.
+    Identical output proves the salting is a pure physical optimization.
+    """
+    return pop_frontier(_synth_frontier(spark, sf), salt=16).select(
+        "host", "url_hash", "fetch_seq_in_host"
+    )
+
+
+@q(
+    "frontier_merge",
+    f"""
+    WITH f0 AS ({_SYNTH_FRONTIER_SQL}),
+    frontier AS (
+      SELECT url_hash, host, depth, priority, 'pending' AS status, 0 AS retries
+      FROM f0 WHERE url_hash % 3 != 0),
+    upd AS (
+      SELECT url_hash,
+             CASE WHEN url_hash % 2 = 0 THEN 'done' ELSE 'failed' END AS new_status,
+             CAST(CASE WHEN url_hash % 2 = 0 THEN 0 ELSE 1 END AS INT) AS new_retries,
+             CASE WHEN url_hash % 2 = 0 THEN NULL
+                  ELSE priority + 0.5 END AS new_priority
+      FROM frontier WHERE url_hash % 5 = 0),
+    merged AS (
+      SELECT f.url_hash, f.host, f.depth,
+             coalesce(u.new_priority, f.priority) AS priority,
+             coalesce(u.new_status, f.status) AS status,
+             CAST(coalesce(u.new_retries, f.retries) AS INT) AS retries
+      FROM frontier f LEFT JOIN upd u ON f.url_hash = u.url_hash),
+    inserts AS (
+      SELECT url_hash, host, depth, priority, 'pending' AS status,
+             CAST(0 AS INT) AS retries
+      FROM f0 WHERE url_hash % 3 = 0)
+    SELECT url_hash, status, retries, round(priority, 4) AS prio
+    FROM (SELECT * FROM merged UNION ALL SELECT * FROM inserts)
+    """,
+)
+def frontier_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """F7: upsert semantics of engine.frontier.merge_frontier vs plain SQL."""
+    f0 = _synth_frontier(spark, sf).drop("k")
+    frontier = (
+        f0.where(F.pmod("url_hash", F.lit(3)) != 0)
+        .withColumn("status", F.lit("pending"))
+        .withColumn("retries", F.lit(0).cast("int"))
+    )
+    even = F.pmod("url_hash", F.lit(2)) == 0
+    updates = frontier.where(F.pmod("url_hash", F.lit(5)) == 0).select(
+        "url_hash",
+        F.when(even, F.lit("done")).otherwise(F.lit("failed")).alias("new_status"),
+        F.when(even, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("new_retries"),
+        F.when(even, F.lit(None).cast("double"))
+        .otherwise(F.col("priority") + 0.5)
+        .alias("new_priority"),
+    )
+    inserts = (
+        f0.where(F.pmod("url_hash", F.lit(3)) == 0)
+        .withColumn("status", F.lit("pending"))
+        .withColumn("retries", F.lit(0).cast("int"))
+    )
+    merged = merge_frontier(frontier, updates, inserts)
+    return merged.select(
+        "url_hash", "status", "retries", F.round("priority", 4).alias("prio")
+    )
+
+
+@q(
+    "robots_longest_prefix",
+    """
+    WITH urls AS (
+      SELECT o_orderkey AS url_hash,
+             'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+             CASE o_orderkey % 3 WHEN 0 THEN '/a/b/' || CAST(o_orderkey % 10 AS VARCHAR)
+                                 WHEN 1 THEN '/a/' || CAST(o_orderkey % 10 AS VARCHAR)
+                                 ELSE '/c/' || CAST(o_orderkey % 10 AS VARCHAR) END AS path
+      FROM orders),
+    rules AS (
+      SELECT 'h' || CAST(r AS VARCHAR) AS host, p.path_prefix, p.allow
+      FROM range(0, 50) t(r),
+           (VALUES ('', true), ('/a/', false), ('/a/b/', true)) p(path_prefix, allow)
+      WHERE r % 2 = 0),
+    m AS (
+      SELECT u.url_hash, u.host, u.path, r.allow, r.path_prefix,
+             row_number() OVER (PARTITION BY u.url_hash
+                                ORDER BY length(r.path_prefix) DESC, r.allow DESC) AS rn
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.path_prefix))
+    SELECT u.url_hash, u.host,
+           coalesce(m.allow, true) AS allowed
+    FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON u.url_hash = m.url_hash
+    """,
+)
+def robots_longest_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """R2: engine robots_gate (broadcast + array HOF longest-prefix) vs a
+    window-rank SQL spec, on rules synthesized for even-numbered hosts."""
+    o = load(spark, sf, "orders")
+    urls = o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(50)).cast("string")).alias("host"),
+        F.concat(
+            F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit("/a/b/"))
+            .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.lit("/a/"))
+            .otherwise(F.lit("/c/")),
+            F.pmod("o_orderkey", F.lit(10)).cast("string"),
+        ).alias("path"),
+    )
+    hosts = spark.range(0, 50).where(F.col("id") % 2 == 0)
+    prefixes = spark.createDataFrame(
+        [("", True), ("/a/", False), ("/a/b/", True)], "path_prefix string, allow boolean"
+    )
+    rules = hosts.crossJoin(prefixes).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("rule_order"),
+        "allow",
+        "path_prefix",
+        F.lit(0.0).alias("crawl_delay"),
+        F.lit(0).cast("int").alias("fetched_epoch"),
+    )
+    return robots_gate(urls, rules).select("url_hash", "host", "allowed")
+
+
+@q(
+    "canonicalize_urls",
+    """
+    SELECT o_orderkey AS id,
+           CASE o_orderkey % 4
+             WHEN 0 THEN 'https://host' || CAST(o_custkey % 97 AS VARCHAR)
+                         || '.example/page/' || CAST(o_orderkey % 1000 AS VARCHAR)
+             WHEN 1 THEN 'https://host' || CAST(o_custkey % 97 AS VARCHAR)
+                         || '.example/page/' || CAST(o_orderkey % 1000 AS VARCHAR)
+             WHEN 2 THEN 'https://host' || CAST(o_custkey % 97 AS VARCHAR)
+                         || '.example/page/' || CAST(o_orderkey % 1000 AS VARCHAR)
+                         || '?a=1&b=2'
+             ELSE 'http://host' || CAST(o_custkey % 97 AS VARCHAR)
+                  || '.example/~user/page/' || CAST(o_orderkey % 1000 AS VARCHAR)
+           END AS url
+    FROM orders
+    """,
+)
+def canonicalize_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """C1: the pandas-UDF canonicalizer vs a *constructive* oracle — the SQL
+    builds the expected canonical form from the same keys, so uppercase
+    host, default port, fragment, dot-segments, utm params, query-param
+    sorting and %7E decoding are each independently verified."""
+    o = load(spark, sf, "orders")
+    hostnum = F.pmod("o_custkey", F.lit(97)).cast("string")
+    page = F.pmod("o_orderkey", F.lit(1000)).cast("string")
+    m = F.pmod("o_orderkey", F.lit(4))
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("HTTPS://HOST"), hostnum, F.lit(".EXAMPLE/page/"), page),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://host"),
+                hostnum,
+                F.lit(".example:443/a/../page/"),
+                page,
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://host"),
+                hostnum,
+                F.lit(".example/page/"),
+                page,
+                F.lit("?utm_source=x&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://host"),
+                hostnum,
+                F.lit(".example:80/%7Euser/page/"),
+                page,
+            )
+        )
+    )
+    return o.select(F.col("o_orderkey").alias("id"), raw.alias("raw")).select(
+        "id", canonicalize_udf("raw").alias("url")
+    )
+
+
+@q("seed_ingest")
+def seed_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """S1+C2+C3 (rows-only): seed list → canonical keyed frontier rows.
+    xxhash64 keys have no DuckDB twin; exactness vs the pure-Python xxh64
+    is pinned by tests/test_units.py."""
+    return seeds_to_frontier(spark, gen_seed_urls(TINY), n_buckets=64).select(
+        "url_hash", "url", "host", "host_bucket", "depth", "status"
+    )
+
+
+@q("url_keys")
+def url_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """C2/C3 (rows-only): url_hash/host/host_bucket over canonical URLs."""
+    o = load(spark, sf, "orders")
+    urls = o.select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod("o_custkey", F.lit(97)).cast("string"),
+            F.lit(".example/page/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return with_url_keys(urls, n_buckets=64)
+
+
+@q("synth_fetch_spans")
+def synth_fetch_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """F6+X1 (rows-only): deterministic synthetic fetch → span arrays →
+    explode (UD2 + UD6).  Span-sequence exactness vs pyref is pinned by
+    tests/test_crawl_parity.py."""
+    frontier = seeds_to_frontier(spark, gen_seed_urls(TINY), n_buckets=64)
+    fetched = fetch_parse(frontier, TINY)
+    return (
+        fetched.where("ok")
+        .select("url", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "url",
+            "pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.offset").alias("offset"),
+            F.length("span.text").alias("text_len"),
+        )
+    )
+
+
+@q("bloom_probe")
+def bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """D1 (rows-only): partitioned bloom build + cogrouped vectorized probe.
+    Zero false negatives by construction; FPR bound pinned by
+    tests/test_units.py."""
+    o = load(spark, sf, "orders")
+    all_keys = o.select(F.xxhash64("o_orderkey").alias("url_hash"))
+    seeded = all_keys.where(F.pmod("url_hash", F.lit(2)) == 0)
+    blobs = seenmod.init_filter(spark, seeded, n_parts=8)
+    return seenmod.probe_filter(all_keys, blobs, n_parts=8).select(
+        "url_hash", "maybe_seen"
+    )

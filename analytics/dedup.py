@@ -1,0 +1,277 @@
+"""Training-data deduplication operators over the ``documents`` table.
+
+Four families, all scale-first designs:
+
+- exact: content-hash groupBy — one shuffle on the hash, map-side partial
+  agg; at 100 TB this is the cheapest pass and runs first.
+- n-gram Jaccard: exact pairwise similarity restricted to shingle-sharing
+  pairs (the inverted-index join), never all-pairs.
+- MinHash + LSH: signature → banded bucket-join; candidate volume is
+  O(colliding pairs), independent of corpus², entirely JVM-side
+  (xxhash64 + modular permutations — no Python in the hot path).
+- SimHash: 64-bit fingerprint + banded Hamming candidate join.
+
+Jaccard/exact have DuckDB oracles (same shingle construction on both
+sides); MinHash/SimHash are rows-only for the driver and are instead
+pinned by tests/test_dedup.py (candidate set ⊇ truly-similar pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analytics.common import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- exact dedup
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep the min doc_id as representative."""
+    d = load(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    )
+
+
+# ------------------------------------------------- shared shingle pipeline
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct word-trigram shingles per doc (lead-window construction —
+    mirrored verbatim by the DuckDB oracle)."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word"))
+        .withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+  w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM documents),
+  sh AS (
+    SELECT doc_id,
+           word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win
+             AS shingle
+    FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+  shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs via the inverted-index join —
+    only pairs sharing ≥1 shingle are ever materialized (never all-pairs),
+    which is the property that survives a 100× corpus scale-up."""
+    shd = _shingles(spark, sf).persist()
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .where(jac >= 0.12)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients (seed 42)."""
+    import random
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, sig: array<long>[N_PERM]).
+
+    All-JVM: xxhash64 the shingle once, then N_PERM universal-hash
+    permutations (a*h + b mod 2^31-1; products < 2^62, safe under ANSI),
+    min-reduced per doc by a single hash aggregation.
+    """
+    hm = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    perms = [
+        F.pmod(F.lit(a) * hm + F.lit(b), F.lit(_MERSENNE)).alias(f"p{i}")
+        for i, (a, b) in enumerate(_perm_coeffs())
+    ]
+    mins = [F.min(f"p{i}").alias(f"m{i}") for i in range(N_PERM)]
+    agg = shingles.select("doc_id", *perms).groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
+    )
+
+
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4): candidate pairs + signature-estimated
+    Jaccard.  Scale path of dedup_ngram_jaccard: bucket-join volume is
+    O(collisions), not O(n²); the exact verifier then runs only on
+    candidates.  Rows-only for the driver (bucketed-candidate recall is
+    asserted vs exact Jaccard in tests/test_dedup.py)."""
+    sigs = minhash_signatures(_shingles(spark, sf)).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    est = (
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda v: v))
+        / float(N_PERM)
+    )
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+@q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash(64) near-dup: per-word xxhash64 → bitwise majority vote →
+    two 32-bit halves (no 64-bit overflow under ANSI) → 4×16-bit banded
+    candidate join → exact Hamming ≤ 6 filter.  All JVM-side."""
+    d = load(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = F.xxhash64("word")
+    votes = [
+        F.sum(
+            (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    lo = sum(
+        [F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(32)],
+        F.lit(0).cast("long"),
+    )
+    hi = sum(
+        [
+            F.when(F.col(f"v{j + 32}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(32)
+        ],
+        F.lit(0).cast("long"),
+    )
+    fp = agg.select("doc_id", lo.alias("sim_lo"), hi.alias("sim_hi")).persist()
+    # 4 bands of 16 bits each (2 per half): near-dups (Hamming<=6) must
+    # collide on >=1 band only if <=3 differing bands — banded recall is
+    # probabilistic for 4..6 bit flips spread across all bands; candidates
+    # are then exactly verified.
+    chunks = [
+        F.shiftrightunsigned(F.col(half), s).bitwiseAND(F.lit(0xFFFF))
+        for half in ("sim_lo", "sim_hi")
+        for s in (0, 16)
+    ]
+    bands = fp.select(
+        "doc_id", F.posexplode(F.array(*chunks)).alias("band_id", "chunk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    f1 = fp.select(F.col("doc_id").alias("d1"), F.col("sim_lo").alias("lo1"), F.col("sim_hi").alias("hi1"))
+    f2 = fp.select(F.col("doc_id").alias("d2"), F.col("sim_lo").alias("lo2"), F.col("sim_hi").alias("hi2"))
+    hamming = F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2"))) + F.bit_count(
+        F.col("hi1").bitwiseXOR(F.col("hi2"))
+    )
+    return (
+        cands.join(f1, "d1")
+        .join(f2, "d2")
+        .where(hamming <= 6)
+        .select("d1", "d2", hamming.cast("int").alias("hamming"))
+    )

@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The image/audio libraries are not in this container, so the *decode* steps
+are deterministic fakes behind ``_FAKE_DECODE`` (clearly marked; swap in
+PIL/ffmpeg bodies in production — the Spark-side contracts are the real
+deliverable and are fully tested):
+
+- schema: media payload as BinaryType + metadata struct, never strings;
+- batch shape: ``mapInPandas`` iterator-of-batches so one task never
+  materializes more than ``arrow.maxRecordsPerBatch`` payloads (the 100 TB
+  constraint: media bytes dwarf text, so decode must stream);
+- partitioning: payload rows are processed where they land — no shuffle is
+  introduced by decode/feature steps (narrow chain after the scan).
+
+Rows-only for the driver (binary ops are outside DuckDB parity);
+tests/test_multimodal.py pins determinism and schema.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from analytics.common import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_FAKE_DECODE = True  # real decode (PIL / soundfile / pyav) not available here
+
+
+def q(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → synthetic media rows: payload bytes derived
+    deterministically from the text (stands in for fetched image/audio
+    bytes), media_type from doc_id."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+DECODED = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (UD2 batch contract).
+
+    FAKE decode: metadata and an 8-dim feature vector are derived
+    deterministically from the payload bytes (sha-free, numpy-vectorized
+    per batch).  Production swaps the marked block for a real decoder with
+    the identical signature/schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sizes = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            if _FAKE_DECODE:
+                # --- deterministic fake decoder (see module docstring) ---
+                h = np.array(
+                    [sum(b[:16]) + len(b) for b in pdf["payload"]], dtype=np.int64
+                )
+                width = (64 + (h % 1024)).astype(np.int32)
+                height = (64 + ((h // 7) % 1024)).astype(np.int32)
+                duration = np.where(
+                    pdf["media_type"].to_numpy() == "image/png", 0.0, (h % 3600) / 10.0
+                )
+                feature = [
+                    [float((hi >> (4 * j)) & 0xF) / 15.0 for j in range(8)] for hi in h
+                ]
+            else:  # pragma: no cover - production path
+                raise NotImplementedError("real media decode needs PIL/pyav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": sizes,
+                    "width": width,
+                    "height": height,
+                    "duration_s": duration,
+                    "feature": feature,
+                }
+            )
+
+    return media.mapInPandas(run, DECODED)
+
+
+@q("media_decode_stub")
+def media_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload → decoded metadata + feature vector (rows-only)."""
+    out = decode_media(media_table(spark, sf))
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("duration_s", 2).alias("duration_s"),
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
+@q("media_frame_sample")
+def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling plumbing for video rows: every 10th frame index up to
+    a duration-derived frame count — native sequence/explode, no Python.
+    (rows-only)"""
+    decoded = decode_media(media_table(spark, sf))
+    vids = decoded.where(F.col("media_type") == "video/mp4").withColumn(
+        "n_frames", (F.col("duration_s") * 24).cast("int")
+    )
+    return (
+        vids.where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(240))
+            ).alias("frame_idx"),
+        )
+    )

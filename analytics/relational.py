@@ -1,0 +1,818 @@
+"""SURVEY.md §2.2 relational operator surface — one driver-parity query per row.
+
+Each entry in ``QUERIES`` is a Spark DataFrame program; ``ORACLE`` holds the
+equivalent DuckDB SQL the driver runs on the same parquet views.  Column
+names/aliases match exactly on both sides (driver hashes by sorted column
+name).  Doubles are rounded to 4 decimals on both sides; timestamps are
+rendered as UTC wall-clock strings (see analytics/common.py).
+
+Operator coverage (SURVEY.md §2.2 IDs in each docstring): SC1, PF1-PF4,
+J1-J8, A1/A2/A4/A5/A6, W1-W4, T1-T3, U1-U3, X-str/hash/date/math/arr/json,
+ST3-ST5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analytics.common import load, utc
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------- scans
+@q(
+    "sc1_pushdown_scan",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05
+    GROUP BY l_returnflag
+    """,
+)
+def sc1_pushdown_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """SC1: parquet scan with predicate pushdown + column pruning.
+
+    Plan check (tests/test_plan_shape.py): PushedFilters carries both
+    predicates; ReadSchema is the 4 referenced columns only.
+    """
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where((F.col("l_quantity") < 10) & (F.col("l_discount") > 0.05))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------- projection / filter
+@q(
+    "pf1_projection",
+    """
+    SELECT c_custkey, lower(c_name) AS name_lc,
+           c_acctbal * 2 AS bal_adj, c_mktsegment AS seg
+    FROM customer
+    """,
+)
+def pf1_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """PF1: projection / rename / computed column (doubling is exact in
+    binary fp, so no round() boundary can split the engines)."""
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        (F.col("c_acctbal") * 2).alias("bal_adj"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+@q(
+    "pf2_predicates",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE (l_quantity BETWEEN 5 AND 15 AND l_returnflag IN ('A', 'R'))
+       OR (l_discount > 0.09 AND NOT l_linestatus = 'O')
+    """,
+)
+def pf2_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """PF2: conjunctive/disjunctive/IN/NOT predicate tree."""
+    li = load(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_quantity").between(5, 15) & F.col("l_returnflag").isin("A", "R"))
+        | ((F.col("l_discount") > 0.09) & ~(F.col("l_linestatus") == "O"))
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "pf3_null_safe",
+    """
+    WITH e AS (SELECT event_id, CASE WHEN value < 10 THEN NULL ELSE value END AS v
+               FROM events)
+    SELECT count(*) AS n_rows,
+           count(v) AS n_notnull,
+           count(*) FILTER (WHERE v IS NULL) AS n_null,
+           count(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL) AS n_nullsafe_eq
+    FROM e
+    """,
+)
+def pf3_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """PF3: isNull / isNotNull / null-safe equality."""
+    e = load(spark, sf, "events").withColumn(
+        "v", F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    )
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_notnull"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("v").eqNullSafe(F.lit(None).cast("double")), 1)).alias(
+            "n_nullsafe_eq"
+        ),
+    )
+
+
+@q(
+    "pf4_like_rlike",
+    """
+    SELECT p_partkey, p_type FROM part
+    WHERE p_type LIKE '%ECO%' OR regexp_matches(p_name, '^[bc].*t$')
+    """,
+)
+def pf4_like_rlike(spark: SparkSession, sf: str) -> DataFrame:
+    """PF4: LIKE and regexp predicates."""
+    p = load(spark, sf, "part")
+    return p.where(
+        F.col("p_type").like("%ECO%") | F.col("p_name").rlike("^[bc].*t$")
+    ).select("p_partkey", "p_type")
+
+
+# --------------------------------------------------------------------- joins
+@q(
+    "j1_broadcast_join",
+    """
+    SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j1_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: broadcast hash equi-join (explicit F.broadcast hint)."""
+    n, r = load(spark, sf, "nation"), load(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_name", "r_name")
+
+
+@q(
+    "j2_shuffle_join_agg",
+    """
+    SELECT c.c_mktsegment AS seg, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j2_shuffle_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: shuffle equi-join (AQE picks SMJ/SHJ) + hash agg on top."""
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "j3_left_outer_join",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j3_left_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: left outer join preserving order-less customers (count = 0)."""
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "j4_left_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j4_left_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: left anti join — the D2 URL-seen dedup primitive."""
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return c.join(
+        o.where(F.col("o_totalprice") > 300000), o.o_custkey == c.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "j5_left_semi_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def j5_left_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: left semi join — eligible-host style selection."""
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return c.join(
+        o.where(F.col("o_totalprice") > 100000), o.o_custkey == c.c_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@q(
+    "j6_range_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES (0, 0.0, 25.0), (1, 25.0, 50.0),
+                                        (2, 50.0, 75.0), (3, 75.0, 1e18))
+    SELECT b.band, count(*) AS n, round(sum(e.value), 4) AS total
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def j6_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6: theta/range join of a fact table against tiny value bands."""
+    e = load(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e18)],
+        "band int, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@q(
+    "j7_asof_join",
+    """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+    FROM j WHERE rn = 1
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: as-of join — most recent order per (user==custkey) at event time.
+
+    Spark has no native as-of; this is the standard window-rank reduction
+    also used for robots TTL resolution (engine/robots.py).
+    """
+    utc(spark)
+    o, e = load(spark, sf, "orders"), load(spark, sf, "events")
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+        )
+    )
+
+
+@q(
+    "j8_cross_join",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def j8_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: cross join (tiny dims only — F5 salt-enumeration pattern)."""
+    r, n = load(spark, sf, "region"), load(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# -------------------------------------------------------------- aggregations
+@q(
+    "a1_hash_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_hash_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: TPC-H Q1-style hash aggregation (partial+final automatic)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "a2_count_distinct",
+    """
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: exact distinct count (seen-set size audit pattern)."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
+    )
+
+
+@q("a3_approx_distinct")
+def a3_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: approx_count_distinct (HLL) — rows-only check; DuckDB's
+    approx_count_distinct uses a different sketch so values can't match.
+    Exactness is bounded by tests/test_analytics_units.py (rsd 5%)."""
+    return load(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders")
+    )
+
+
+@q(
+    "a4_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS rf, coalesce(l_linestatus, '<all>') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a4_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: rollup grouping sets (L1 metrics rollup pattern)."""
+    return (
+        load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@q(
+    "a5_collect_list_ordered",
+    """
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+    FROM events GROUP BY user_id
+    """,
+)
+def a5_collect_list_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: deterministic ordered collect_list (crawl_log order-compare
+    pattern): sort structs by a unique key, then project."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("type_seq")
+    )
+
+
+@q(
+    "a6_global_agg",
+    """
+    SELECT count(*) AS n, round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    """,
+)
+def a6_global_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: global (grouping-less) aggregation — the stop-condition agg."""
+    return load(spark, sf, "lineitem").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+# ------------------------------------------------------------------- windows
+@q(
+    "w1_row_number_topk",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def w1_row_number_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/T3: per-group top-k via row_number — the F5 pop shape."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "w2_rank_dense",
+    """
+    SELECT s_nationkey, s_suppkey,
+           rank() OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal, 2) DESC) AS rk,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal, 2) DESC) AS drk
+    FROM supplier
+    """,
+)
+def w2_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: rank / dense_rank (ties share rank — deterministic output)."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.round("s_acctbal", 2).desc())
+    s = load(spark, sf, "supplier")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@q(
+    "w3_lag_lead",
+    """
+    SELECT event_id,
+           round(lag(value) OVER w, 4) AS prev_value,
+           round(lead(value) OVER w, 4) AS next_value
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w3_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: lag/lead analytics over a deterministic per-user order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf, "events").select(
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+    )
+
+
+@q(
+    "w4_running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM events
+    """,
+)
+def w4_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """W4: frame-spec running aggregate (politeness-budget audit shape)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("running_total")
+    )
+
+
+# ------------------------------------------------- sort / limit / set ops
+@q(
+    "t1_global_sort",
+    """
+    SELECT n_name, row_number() OVER (ORDER BY n_name) AS pos FROM nation
+    """,
+)
+def t1_global_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """T1: global total-order sort, made hash-visible via position."""
+    w = Window.orderBy("n_name")
+    return load(spark, sf, "nation").select("n_name", F.row_number().over(w).alias("pos"))
+
+
+@q(
+    "t2_topk_limit",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def t2_topk_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """T2: global top-k (TakeOrderedAndProject)."""
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@q(
+    "t3_group_topk",
+    """
+    SELECT s_nationkey, s_suppkey FROM (
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM supplier) WHERE rn <= 2
+    """,
+)
+def t3_group_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """T3: per-group top-k (the F5 frontier-pop relational shape)."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        load(spark, sf, "supplier")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("s_nationkey", "s_suppkey")
+    )
+
+
+@q(
+    "u1_union",
+    """
+    SELECT r_name, count(*) AS n FROM (
+      SELECT r_name FROM region UNION ALL SELECT r_name FROM region)
+    GROUP BY r_name
+    """,
+)
+def u1_union(spark: SparkSession, sf: str) -> DataFrame:
+    """U1: unionByName (F7 merge shape)."""
+    r = load(spark, sf, "region").select("r_name")
+    return r.unionByName(r).groupBy("r_name").agg(F.count("*").alias("n"))
+
+
+@q(
+    "u2_intersect_except",
+    """
+    SELECT 'both' AS tag, n_nationkey FROM
+      (SELECT n_nationkey FROM nation INTERSECT
+       SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+    UNION ALL
+    SELECT 'only_a' AS tag, n_nationkey FROM
+      (SELECT n_nationkey FROM nation EXCEPT
+       SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+    """,
+)
+def u2_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """U2: intersect / except (resume-equivalence diff-test primitives)."""
+    n = load(spark, sf, "nation").select("n_nationkey")
+    sub = load(spark, sf, "nation").where(F.col("n_regionkey").isin(0, 1)).select("n_nationkey")
+    both = n.intersect(sub).select(F.lit("both").alias("tag"), "n_nationkey")
+    only_a = n.exceptAll(sub).distinct().select(F.lit("only_a").alias("tag"), "n_nationkey")
+    return both.unionByName(only_a)
+
+
+@q(
+    "u3_distinct_pairs",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def u3_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """U3: dropDuplicates on a full projection (deterministic form)."""
+    return load(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------- scalar functions
+@q(
+    "x_string_funcs",
+    """
+    SELECT c_custkey,
+           lower(trim(c_name)) AS lc,
+           substring(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nk_pad
+    FROM customer
+    """,
+)
+def x_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-str: lower/trim/substring/length/regexp_extract/concat_ws/lpad."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("lc"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nk_pad"),
+    )
+
+
+@q(
+    "x_hash_funcs",
+    """
+    SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_brand) AS brand_sha
+    FROM part
+    """,
+)
+def x_hash_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-hash: md5 / sha2-256 (content_hash pattern). xxhash64 (C2) has no
+    DuckDB twin and is parity-checked via pytest vectors instead."""
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha"),
+    )
+
+
+@q(
+    "x_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def x_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-date: component extraction + formatting + datediff (UTC-pinned)."""
+    utc(spark)
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@q(
+    "x_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ((l_orderkey % 64) + 64) % 64 AS bucket,
+           abs(l_discount - 0.05) AS adisc,
+           floor(l_quantity / 7) AS qgrp,
+           round(ln(1 + l_extendedprice), 4) AS lprice
+    FROM lineitem
+    """,
+)
+def x_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-math: pmod (the C3 bucketing fn) / abs / floor / log1p."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod("l_orderkey", F.lit(64)).alias("bucket"),
+        F.abs(F.col("l_discount") - 0.05).alias("adisc"),
+        F.floor(F.col("l_quantity") / 7).alias("qgrp"),
+        F.round(F.log1p("l_extendedprice"), 4).alias("lprice"),
+    )
+
+
+@q(
+    "x_array_funcs",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           list_max(list_transform(string_split(text, ' '), w -> length(w))) AS max_word_len,
+           array_to_string(list_sort(string_split(text, ' ')[1:3]), ',') AS first3_sorted
+    FROM documents
+    """,
+)
+def x_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-arr: split/size/distinct/transform/array_max/slice/sort/join —
+    the span-array HOF surface (X1/X2) over driver text."""
+    d = load(spark, sf, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).cast("long").alias("max_word_len"),
+        F.array_join(F.array_sort(F.slice(words, 1, 3)), ",").alias("first3_sorted"),
+    )
+
+
+@q(
+    "x_json_funcs",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def x_json_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """X-json: get_json_object on the events.props JSON string."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ------------------------------------------------------ streaming surface
+_BUCKET_SQL = (
+    "strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * "
+    "CAST(floor(epoch(ts) / {w}) * {w} + {off} AS BIGINT), '%Y-%m-%d %H:%M:%S')"
+)
+
+
+@q(
+    "st3_tumbling_window",
+    f"""
+    SELECT {_BUCKET_SQL.format(w=600, off=0)} AS win_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def st3_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST3: 10-minute tumbling window aggregate (epoch-batch form of the
+    Structured Streaming windowed agg; streaming/epoch_stream.py runs the
+    same plan under trigger(availableNow=True))."""
+    utc(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n", "total"
+        )
+    )
+
+
+@q(
+    "st4_sliding_window",
+    f"""
+    WITH s AS (
+      SELECT {_BUCKET_SQL.format(w=300, off=0)} AS win_start, value FROM events
+      UNION ALL
+      SELECT {_BUCKET_SQL.format(w=300, off=-300)} AS win_start, value FROM events)
+    SELECT win_start, count(*) AS n, round(sum(value), 4) AS total
+    FROM s GROUP BY win_start
+    """,
+)
+def st4_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST4: 10-minute window sliding by 5 — every event lands in 2 windows."""
+    utc(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n", "total"
+        )
+    )
+
+
+@q(
+    "st5_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def st5_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5: session window (30-min gap) — Spark native session_window vs a
+    lag+cumulative-sum reconstruction in the oracle."""
+    utc(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n",
+            "total",
+        )
+    )

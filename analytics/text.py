@@ -1,0 +1,177 @@
+"""Text analysis for training-data pipelines over ``documents``.
+
+All four operators are pure native-function pipelines (zero Python UDFs —
+they run inside WholeStageCodegen and scale linearly with input splits),
+each with a DuckDB oracle implementing the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics.common import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+_SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN {_SW_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length / word / punctuation / stopword features
+    (the heuristics corpus filters threshold on)."""
+    d = load(spark, sf, "documents").where(F.length("text") > 0)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    sw = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(
+            (
+                F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(sw / n_words, 4).alias("stopword_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "es"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return (
+        "len(list_filter(string_split(text, ' '), w -> w IN ('"
+        + "', '".join(_LANG_MARKERS[lang])
+        + "')))"
+    )
+
+
+@q(
+    "text_langid",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_marker_sql('en')} AS s_en, {_marker_sql('es')} AS s_es,
+             {_marker_sql('de')} AS s_de, {_marker_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID: marker-word voting with a fixed tie order (en>es>de>fr).
+    The stand-in for an n-gram LM scorer; the Spark plan shape (per-doc
+    HOF counts + CASE argmax) is the real thing."""
+    d = load(spark, sf, "documents")
+    words = F.split("text", " ")
+    s = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*marks)))
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])'))
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters / digit runs / single punctuation)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])")))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents)
+    SELECT doc_id,
+           CAST(sum(idx * ascii(substring(word, 1, 1)) * length(word)) % 1000000007
+                AS BIGINT) AS fingerprint
+    FROM w WHERE word != '' GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted char/length
+    hash, computed with a single indexed HOF fold (no shuffle beyond the
+    per-doc agg) — the cheap first-pass identity for incremental crawls."""
+    d = load(spark, sf, "documents")
+    terms = F.filter(
+        F.zip_with(
+            F.split("text", " "),
+            F.sequence(F.lit(1), F.size(F.split("text", " "))),
+            lambda w, i: F.when(
+                w != "", i.cast("long") * F.ascii(F.substring(w, 1, 1)) * F.length(w)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id", F.pmod(total, F.lit(1000000007)).cast("long").alias("fingerprint")
+    )

@@ -1,0 +1,110 @@
+"""Bench runner — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32), plus a
+synthetic-graph crawl throughput section (the north-star URLs/sec metric,
+BASELINE.json:2).  Scaling-efficiency evidence (same job at local[8] vs
+local[32]) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = (
+    "a1_hash_agg",
+    "j2_shuffle_join_agg",
+    "w1_row_number_topk",
+    "st3_tumbling_window",
+    "frontier_pop",
+    "canonicalize_urls",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "emb_cosine_pairs",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "doc_fingerprint",
+)
+
+CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as se
+
+    qs = se.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
+    return out
+
+
+def run_crawl_bench(spark) -> dict:
+    """North-star section: URLs/sec over a synthetic-graph crawl."""
+    from engine.crawl import CrawlEngine
+    from engine.synthgraph import GraphConfig, gen_seed_urls
+
+    cfg = GraphConfig(n_hosts=2000, max_pages=200, max_depth=6)
+    root = tempfile.mkdtemp(prefix="benchcrawl_")
+    try:
+        eng = CrawlEngine(
+            spark, root, cfg, n_buckets=64, n_filter_parts=16, salt=16, default_k=2
+        )
+        seeds = gen_seed_urls(cfg)
+        t0 = time.time()
+        metrics = eng.run(CRAWL_EPOCHS, seeds=seeds)
+        wall = time.time() - t0
+        popped = sum(m["urls_popped"] for m in metrics)
+        return {
+            "epochs": len(metrics),
+            "urls_popped": popped,
+            "crawl_wall_s": round(wall, 2),
+            "urls_per_sec": round(popped / wall, 2) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from engine.session import build_session
+
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=2 * int(cpus)
+    )
+    # warm the JVM/Arrow path once so per-query numbers measure the queries
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = run_queries(spark, sf_dir)
+    crawl = run_crawl_bench(spark)
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    line = {
+        "metric": "headline_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,12 @@ class CrawlEngine:
             "left",
         ).fillna({"k": self.default_k})
         popped = pop_frontier(elig_k, self.salt).persist()
+        # Materialize each persisted stage ONCE, in dependency order, before
+        # anything downstream references it from multiple branches.  Without
+        # this, the first write action recomputes the whole lazy chain
+        # (pandas-UDF fetch included) once per branch — measured 98s vs 5s
+        # for the frontier write at 8k pops.  The counts double as metrics.
+        n_popped = popped.count()  # also populates gated's cache
         crawl_log = popped.select(
             F.lit(epoch).cast("int").alias("epoch"),
             "host",
@@ -151,6 +157,18 @@ class CrawlEngine:
 
         # --- F6/X1/X2 ---
         fetched = fetch_parse(popped, cfg).persist()
+        fetch_stats = {
+            r["ok"]: r
+            for r in fetched.groupBy("ok")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.size("outlinks")), F.lit(0)).alias("links"),
+            )
+            .collect()
+        }
+        n_ok = int(fetch_stats.get(True, {"n": 0})["n"])
+        n_fail = int(fetch_stats.get(False, {"n": 0})["n"])
+        n_links = int(fetch_stats.get(True, {"links": 0})["links"])
         docs = fetched.where("ok").select(
             F.col("url").alias("doc_id"),
             "spans",
@@ -165,11 +183,12 @@ class CrawlEngine:
         if self.use_seen_filter:
             seen = cat.read_snapshot("seen_filter")
             probed = seenmod.probe_filter(cands, seen, self.n_filter_parts).persist()
+            n_cands = probed.count()
             new_rows = seenmod.dedup_new(probed, frontier_keys)
-            n_candidates_df = probed
         else:
+            cands = cands.persist()
+            n_cands = cands.count()
             new_rows = cands.join(frontier_keys, "url_hash", "left_anti")
-            n_candidates_df = cands
         inserts = new_rows.select(
             "url_hash",
             "url",
@@ -182,6 +201,8 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             "parent_hash",
         ).persist()
+        n_new = inserts.count()
+        n_disallowed = disallowed.count()  # cached via gated
 
         # --- F7 merge ---
         updates = retry_transition(fetched, cfg.max_retries).unionByName(
@@ -209,16 +230,6 @@ class CrawlEngine:
             snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
 
         # --- metrics (definitions shared with pyref.oracle) ---
-        n_popped = popped.count()
-        ok_counts = {r["ok"]: r["n"] for r in fetched.groupBy("ok").agg(F.count("*").alias("n")).collect()}
-        n_ok = int(ok_counts.get(True, 0))
-        n_fail = int(ok_counts.get(False, 0))
-        n_links = int(
-            fetched.where("ok").agg(F.coalesce(F.sum(F.size("outlinks")), F.lit(0)).alias("s")).collect()[0]["s"]
-        )
-        n_cands = n_candidates_df.count()
-        n_new = inserts.count()
-        n_disallowed = disallowed.count()
         pending_end = committed_frontier.where(F.col("status") == "pending").count()
         wall = time.time() - t0
         metrics = {
@@ -261,6 +272,8 @@ class CrawlEngine:
             df.unpersist()
         if self.use_seen_filter:
             probed.unpersist()
+        else:
+            cands.unpersist()
         return metrics
 
     # ------------------------------------------------------------------- run

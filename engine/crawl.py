@@ -34,7 +34,7 @@ from engine.fetch import fetch_parse
 from engine.frontier import merge_frontier, pop_frontier, retry_transition
 from engine.lineage import metrics_df, partition_lineage
 from engine.parse import extract_candidates
-from engine.robots import ensure_robots, robots_gate
+from engine.robots import fetch_robots, robots_gate
 from engine.schemas import FRONTIER, POLITENESS_BUDGETS, ROBOTS_RULES
 from engine.seed import seeds_to_frontier
 from engine.synthgraph import GraphConfig, gen_budgets
@@ -58,6 +58,7 @@ class CrawlEngine:
         use_seen_filter: bool = True,
         default_k: int = 1,
         partition_frontier_by_status: bool = True,
+        bench_budget: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -69,6 +70,7 @@ class CrawlEngine:
         self.use_robots = use_robots
         self.use_seen_filter = use_seen_filter
         self.default_k = default_k
+        self.bench_budget = bench_budget
         self.partition_cols = ["status"] if partition_frontier_by_status else []
         self.catalog = SnapshotCatalog(spark, root)
 
@@ -81,7 +83,15 @@ class CrawlEngine:
         self._write(frontier, fr_path, self.partition_cols)
         frontier = self.spark.read.parquet(fr_path)
 
-        budgets = self.spark.createDataFrame(gen_budgets(self.cfg), POLITENESS_BUDGETS)
+        # bench_budget: uniform politeness budget for throughput benches
+        # (politeness *semantics* are identical; only the k value changes,
+        # so oracle-parity configs must leave this None)
+        rows = (
+            [(h, self.bench_budget, 0.0) for h, _, _ in gen_budgets(self.cfg)]
+            if self.bench_budget is not None
+            else gen_budgets(self.cfg)
+        )
+        budgets = self.spark.createDataFrame(rows, POLITENESS_BUDGETS)
         bud_path = cat.stage_path(0, "politeness_budgets")
         self._write(budgets, bud_path)
 
@@ -89,8 +99,9 @@ class CrawlEngine:
         rob_path = cat.stage_path(0, "robots_rules")
         self._write(robots, rob_path)
 
+        n_frontier = frontier.count()
         snapshots = {
-            "frontier": {"path": fr_path, "rows": frontier.count()},
+            "frontier": {"path": fr_path, "rows": n_frontier},
             "politeness_budgets": {"path": bud_path, "rows": budgets.count()},
             "robots_rules": {"path": rob_path, "rows": 0},
         }
@@ -105,7 +116,21 @@ class CrawlEngine:
             sf_path = cat.stage_path(0, "seen_filter")
             self._write(blobs, sf_path)
             snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
-        cat.commit(0, snapshots, appends={}, meta={"cfg": repr(self.cfg)})
+        cat.commit(
+            0,
+            snapshots,
+            appends={},
+            meta={
+                "cfg": repr(self.cfg),
+                # tracked state: lets epochs derive frontier/pending counts
+                # arithmetically instead of re-scanning the table (at
+                # 10^10-URL scale the full-frontier count is a job over
+                # millions of file footers — the invariant is free)
+                "frontier_rows": n_frontier,
+                "pending": n_frontier,
+                "robots_rows": 0,
+            },
+        )
 
     # ----------------------------------------------------------------- epoch
     def run_epoch(self, epoch: int) -> dict:
@@ -113,18 +138,32 @@ class CrawlEngine:
         spark, cat, cfg = self.spark, self.catalog, self.cfg
         frontier = cat.read_snapshot("frontier")
         budgets = cat.read_snapshot("politeness_budgets")
+        prev_meta = cat.manifest(cat.last_epoch()).get("meta", {})
+        prev_rows = prev_meta.get("frontier_rows")
+        prev_pending = prev_meta.get("pending")
+        prev_robots_rows = prev_meta.get("robots_rows")
 
         pending = frontier.where(F.col("status") == "pending")  # SC3 partition prune
 
         # --- R1 + R2 ---
         snapshots: dict = {}
+        n_robots_rows = prev_robots_rows
         if self.use_robots:
             robots = cat.read_snapshot("robots_rules")
-            robots = ensure_robots(pending, robots, cfg, epoch)
-            rob_path = cat.stage_path(epoch, "robots_rules")
-            self._write(robots, rob_path)  # materialize once, reuse twice
-            robots = spark.read.parquet(rob_path)
-            snapshots["robots_rules"] = {"path": rob_path, "rows": robots.count()}
+            missing = pending.select("host").distinct().join(
+                robots.select("host").distinct(), "host", "left_anti"
+            )
+            new_rules = fetch_robots(missing, cfg, epoch)
+            n_new_rules = new_rules.count()
+            if n_new_rules or prev_robots_rows is None:
+                robots = robots.unionByName(new_rules)
+                rob_path = cat.stage_path(epoch, "robots_rules")
+                self._write(robots, rob_path)  # materialize once, reuse twice
+                robots = spark.read.parquet(rob_path)
+                n_robots_rows = (prev_robots_rows or 0) + n_new_rules
+                snapshots["robots_rules"] = {"path": rob_path, "rows": n_robots_rows}
+            # else: steady state — every pending host already has rules;
+            # reuse the committed snapshot (carried forward by commit())
             gated = robots_gate(pending.withColumn("path", path_expr()), robots).drop("path")
         else:
             gated = pending.withColumn("allowed", F.lit(True))
@@ -157,18 +196,17 @@ class CrawlEngine:
 
         # --- F6/X1/X2 ---
         fetched = fetch_parse(popped, cfg).persist()
-        fetch_stats = {
-            r["ok"]: r
-            for r in fetched.groupBy("ok")
-            .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum(F.size("outlinks")), F.lit(0)).alias("links"),
-            )
-            .collect()
-        }
-        n_ok = int(fetch_stats.get(True, {"n": 0})["n"])
-        n_fail = int(fetch_stats.get(False, {"n": 0})["n"])
-        n_links = int(fetch_stats.get(True, {"links": 0})["links"])
+        retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
+        stats = fetched.agg(
+            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
+            F.count(F.when(retryable, 1)).alias("n_retry_pending"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok"), F.size("outlinks"))), F.lit(0)
+            ).alias("links"),
+        ).collect()[0]
+        n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
+        n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
         docs = fetched.where("ok").select(
             F.col("url").alias("doc_id"),
             "spans",
@@ -218,7 +256,6 @@ class CrawlEngine:
         )
         fr_path = cat.stage_path(epoch, "frontier")
         self._write(new_frontier, fr_path, self.partition_cols)
-        committed_frontier = spark.read.parquet(fr_path)
 
         # --- D3 filter update ---
         if self.use_seen_filter:
@@ -230,7 +267,20 @@ class CrawlEngine:
             snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
 
         # --- metrics (definitions shared with pyref.oracle) ---
-        pending_end = committed_frontier.where(F.col("status") == "pending").count()
+        # pending_end and frontier_rows follow arithmetically from the
+        # status-transition semantics (every popped row leaves 'pending'
+        # and only retryable failures re-enter; inserts are all pending),
+        # so no post-write table scan is needed.  Falls back to counting
+        # for catalogs committed before this invariant was tracked.
+        frontier_rows = (prev_rows + n_new) if prev_rows is not None else None
+        if prev_pending is not None:
+            pending_end = (
+                prev_pending - n_popped - n_disallowed + n_retry_pending + n_new
+            )
+        else:
+            committed_frontier = spark.read.parquet(fr_path)
+            pending_end = committed_frontier.where(F.col("status") == "pending").count()
+            frontier_rows = committed_frontier.count()
         wall = time.time() - t0
         metrics = {
             "urls_popped": n_popped,
@@ -265,8 +315,18 @@ class CrawlEngine:
             appends[name] = {"path": path, "rows": rows if rows is not None else 1}
 
         # --- K1 atomic commit ---
-        snapshots["frontier"] = {"path": fr_path, "rows": committed_frontier.count()}
-        cat.commit(epoch, snapshots, appends, meta={"metrics": metrics})
+        snapshots["frontier"] = {"path": fr_path, "rows": frontier_rows}
+        cat.commit(
+            epoch,
+            snapshots,
+            appends,
+            meta={
+                "metrics": metrics,
+                "frontier_rows": frontier_rows,
+                "pending": pending_end,
+                "robots_rows": n_robots_rows,
+            },
+        )
 
         for df in (gated, popped, fetched, inserts):
             df.unpersist()

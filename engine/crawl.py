@@ -32,7 +32,7 @@ from engine.canonicalize import path_expr
 from engine.catalog import SnapshotCatalog
 from engine.fetch import fetch_parse
 from engine.frontier import merge_frontier, pop_frontier, retry_transition
-from engine.lineage import metrics_df, partition_lineage
+from engine.lineage import partition_lineage, write_metrics_parquet
 from engine.parse import extract_candidates
 from engine.robots import fetch_robots, robots_gate
 from engine.schemas import FRONTIER, POLITENESS_BUDGETS, ROBOTS_RULES
@@ -184,8 +184,8 @@ class CrawlEngine:
         # anything downstream references it from multiple branches.  Without
         # this, the first write action recomputes the whole lazy chain
         # (pandas-UDF fetch included) once per branch — measured 98s vs 5s
-        # for the frontier write at 8k pops.  The counts double as metrics.
-        n_popped = popped.count()  # also populates gated's cache
+        # for the frontier write at 8k pops.  The counts double as metrics;
+        # popped/gated caches are populated by the fetch-stats job below.
         crawl_log = popped.select(
             F.lit(epoch).cast("int").alias("epoch"),
             "host",
@@ -207,6 +207,7 @@ class CrawlEngine:
         ).collect()[0]
         n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
         n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
+        n_popped = n_ok + n_fail
         docs = fetched.where("ok").select(
             F.col("url").alias("doc_id"),
             "spans",
@@ -307,12 +308,16 @@ class CrawlEngine:
         for name, df, rows in (
             ("documents", docs, n_ok),
             ("crawl_log", crawl_log, n_popped),
-            ("lineage", lineage, None),
-            ("metrics", metrics_df(spark, epoch, metrics), len(metrics)),
+            ("lineage", lineage.coalesce(1), None),
         ):
             path = cat.stage_path(epoch, name)
             self._write(df, path)
             appends[name] = {"path": path, "rows": rows if rows is not None else 1}
+        # metrics are driver-resident scalars: write the parquet directly via
+        # pyarrow — zero Spark jobs, same schema as engine.schemas.METRICS
+        mpath = cat.stage_path(epoch, "metrics")
+        write_metrics_parquet(mpath, epoch, metrics)
+        appends["metrics"] = {"path": mpath, "rows": len(metrics)}
 
         # --- K1 atomic commit ---
         snapshots["frontier"] = {"path": fr_path, "rows": frontier_rows}

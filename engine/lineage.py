@@ -38,3 +38,24 @@ def empty_lineage(spark: SparkSession) -> DataFrame:
 def metrics_df(spark: SparkSession, epoch: int, values: dict[str, float]) -> DataFrame:
     rows = [(epoch, k, float(v)) for k, v in sorted(values.items())]
     return spark.createDataFrame(rows, METRICS)
+
+
+def write_metrics_parquet(path: str, epoch: int, values: dict[str, float]) -> None:
+    """Driver-side metrics append — pyarrow write, zero Spark jobs (the
+    metrics are already scalars on the driver).  Schema mirrors METRICS so
+    ``spark.read.parquet`` unions it with any Spark-written epochs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = sorted(values)
+    table = pa.table(
+        {
+            "epoch": pa.array([epoch] * len(keys), pa.int32()),
+            "key": pa.array(keys, pa.string()),
+            "value": pa.array([float(values[k]) for k in keys], pa.float64()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-0.parquet"))

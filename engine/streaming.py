@@ -1,0 +1,159 @@
+"""Structured Streaming surface (SURVEY.md §2.2 ST1-ST6).
+
+The crawl engine's production loop is *epoch-batch* by spec
+(BASELINE.json:6 "Each scheduling epoch is a batch job") — state lives in
+the frontier/seen_filter tables, strictly stronger than an SS state store
+for resumability.  This module exposes the equivalent streaming concepts
+over the same data so a deployment that prefers a continuous pipeline
+(e.g. feeding freshly crawled documents into the training-data pipeline)
+gets them with identical semantics:
+
+  ST1  micro-batch over a file source, trigger(availableNow=True)
+  ST2  watermark + late-data tolerance on event time
+  ST3-5  tumbling / sliding / session windowed aggregation
+  ST6  stateful dedup (dropDuplicatesWithinWatermark) and a custom
+       per-host stateful operator via applyInPandasWithState — the
+       streaming twin of the politeness budget counter.
+
+Each streaming query is checked against its *batch* twin in
+tests/test_streaming.py: same input files, same result.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None) -> DataFrame:
+    """ST1: the driver's events table as a file-source stream."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(sf_dir)
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a stream with trigger(availableNow=True) into a memory sink and
+    return the materialized result (micro-batch loop runs to completion)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST3 (streaming twin of analytics.relational.st3_tumbling_window)."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """ST4: 10-minute windows sliding by 5."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """ST5: per-user session windows (30-minute gap)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n",
+        )
+    )
+
+
+def watermarked_counts(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """ST2: event-time watermark; append mode emits only finalized windows.
+    (parquet infers ts as TIMESTAMP_NTZ; watermarks require TIMESTAMP, so
+    cast — sessions pin UTC, making the cast a no-op on the wall clock.)"""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """ST6a: stateful streaming dedup — the streaming twin of the
+    URL-seen D2 anti-join, bounded-state via watermark."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+HOST_COUNT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("events_seen", LongType()),
+        StructField("batch_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = "total LONG"
+
+
+def host_budget_state(rows: DataFrame, host_col: str = "host") -> DataFrame:
+    """ST6b: custom stateful operator (applyInPandasWithState) — a
+    continuously-maintained per-host fetch counter, the streaming twin of
+    the politeness budget bookkeeping (engine/crawl.py politeness gate).
+
+    State = one LONG per host; each micro-batch emits the host's running
+    total and the batch contribution.  At cluster scale state is
+    hash-partitioned by host across executors exactly like the frontier's
+    host_bucket partitioning.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"host": [key[0]], "events_seen": [total], "batch_events": [batch]}
+        )
+
+    return rows.groupBy(host_col).applyInPandasWithState(
+        update,
+        outputStructType=HOST_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

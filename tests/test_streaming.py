@@ -1,0 +1,97 @@
+"""ST1-ST6: every streaming query equals its batch twin on the same files."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import streaming as st
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{SF_TEST}/events.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_st1_st3_tumbling_stream_equals_batch(spark, events_batch):
+    out = st.run_available_now(
+        st.tumbling_counts(st.stream_events(spark, SF_TEST)), "t_tumble", "complete"
+    )
+    assert _rows(out) == _rows(st.tumbling_counts(events_batch))
+
+
+def test_st4_sliding_stream_equals_batch(spark, events_batch):
+    out = st.run_available_now(
+        st.sliding_counts(st.stream_events(spark, SF_TEST)), "t_slide", "complete"
+    )
+    assert _rows(out) == _rows(st.sliding_counts(events_batch))
+
+
+def test_st5_session_stream_equals_batch(spark, events_batch):
+    out = st.run_available_now(
+        st.session_counts(st.stream_events(spark, SF_TEST)), "t_sess", "complete"
+    )
+    assert _rows(out) == _rows(st.session_counts(events_batch))
+
+
+def test_st2_watermark_append_emits_finalized_subset(spark, events_batch):
+    """Append mode only emits windows finalized below the final watermark —
+    a strict subset of the batch result, equal on emitted keys."""
+    out = st.run_available_now(
+        st.watermarked_counts(st.stream_events(spark, SF_TEST)), "t_wm", "append"
+    )
+    batch = {r["win_start"]: r["n"] for r in st.tumbling_counts(events_batch).collect()}
+    emitted = {r["win_start"]: r["n"] for r in out.collect()}
+    assert emitted  # something was finalized
+    assert set(emitted) < set(batch) or set(emitted) == set(batch)
+    for k, n in emitted.items():
+        assert batch[k] == n
+
+
+def test_st6_dedup_within_watermark(spark, tmp_path):
+    """Duplicate the events file -> stream sees every row twice ->
+    dropDuplicatesWithinWatermark restores exact-once."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    shutil.copy(f"{SF_TEST}/events.parquet", d / "events.parquet")
+    shutil.copy(f"{SF_TEST}/events.parquet", d / "events2.parquet")
+    schema = spark.read.parquet(f"{SF_TEST}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = st.run_available_now(
+        st.dedup_within_watermark(stream).select("event_id"), "t_dedup", "append"
+    )
+    n_distinct = spark.read.parquet(f"{SF_TEST}/events.parquet").count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_st6_host_budget_state(spark, events_batch):
+    """applyInPandasWithState totals == plain groupBy counts; with
+    maxFilesPerTrigger the state persists across micro-batches."""
+    stream = st.stream_events(spark, SF_TEST).select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(7)).cast("string")).alias("host")
+    )
+    out = st.run_available_now(st.host_budget_state(stream), "t_state", "update")
+    # final running total per host (last update wins)
+    final = {
+        r["host"]: r["events_seen"]
+        for r in out.orderBy("events_seen").collect()  # ascending: last is max
+    }
+    expect = {
+        r["host"]: r["n"]
+        for r in events_batch.select(
+            F.concat(F.lit("h"), F.pmod("user_id", F.lit(7)).cast("string")).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expect

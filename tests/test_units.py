@@ -115,8 +115,9 @@ def test_iceberg_merge_sql_shape():
 
 def test_no_per_row_python_gate():
     """BASELINE.json:15: vectorized Arrow UDFs only — ban F.udf and .rdd."""
-    engine_dir = Path(__file__).resolve().parent.parent / "engine"
+    repo = Path(__file__).resolve().parent.parent
     banned = re.compile(r"(F\.udf\(|@udf\b|\.rdd\b|PandasUDFType)")
-    for py in engine_dir.glob("*.py"):
-        text = py.read_text()
-        assert not banned.search(text), f"per-row Python or RDD usage in {py.name}"
+    for pkg in ("engine", "analytics"):
+        for py in (repo / pkg).glob("*.py"):
+            text = py.read_text()
+            assert not banned.search(text), f"per-row Python or RDD usage in {py.name}"

@@ -24,9 +24,17 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from analytics import crawl_queries, dedup, multimodal, relational, similarity, text  # noqa: E402
+from analytics import (  # noqa: E402
+    crawl_queries,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    udfs,
+)
 
-_MODULES = (relational, crawl_queries, dedup, similarity, text, multimodal)
+_MODULES = (relational, crawl_queries, dedup, similarity, text, multimodal, udfs)
 
 
 def entry(spark: SparkSession) -> DataFrame:

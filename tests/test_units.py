@@ -121,3 +121,32 @@ def test_no_per_row_python_gate():
         for py in (repo / pkg).glob("*.py"):
             text = py.read_text()
             assert not banned.search(text), f"per-row Python or RDD usage in {py.name}"
+
+
+def test_seed_ingest_from_text_file(spark, tmp_path):
+    """SC2: spark.read.text seed source == in-memory seed source."""
+    from engine.seed import seeds_to_frontier
+    from engine.synthgraph import TINY, gen_seed_urls
+
+    seeds = gen_seed_urls(TINY)
+    p = tmp_path / "seeds.txt"
+    p.write_text("\n".join(seeds) + "\n")
+    via_file = seeds_to_frontier(spark, None, 64, seed_path=str(p))
+    via_mem = seeds_to_frontier(spark, seeds, 64)
+    assert sorted(r["url"] for r in via_file.collect()) == sorted(
+        r["url"] for r in via_mem.collect()
+    )
+
+
+def test_engine_zip_packaging(tmp_path):
+    """--py-files artifact contains every engine/analytics/pyref module."""
+    import zipfile
+
+    from tools.package import build
+
+    out = build(tmp_path / "engine.zip")
+    names = set(zipfile.ZipFile(out).namelist())
+    assert "engine/crawl.py" in names
+    assert "engine/frontier.py" in names
+    assert "analytics/relational.py" in names
+    assert "pyref/oracle.py" in names

@@ -59,6 +59,7 @@ class CrawlEngine:
         default_k: int = 1,
         partition_frontier_by_status: bool = True,
         bench_budget: int | None = None,
+        filter_kind: str = "bloom",
     ):
         self.spark = spark
         self.cfg = cfg
@@ -71,6 +72,7 @@ class CrawlEngine:
         self.use_seen_filter = use_seen_filter
         self.default_k = default_k
         self.bench_budget = bench_budget
+        self.filter_kind = filter_kind
         self.partition_cols = ["status"] if partition_frontier_by_status else []
         self.catalog = SnapshotCatalog(spark, root)
 
@@ -112,6 +114,7 @@ class CrawlEngine:
                 self.n_filter_parts,
                 self.filter_nbits,
                 self.filter_nhash,
+                kind=self.filter_kind,
             )
             sf_path = cat.stage_path(0, "seen_filter")
             self._write(blobs, sf_path)

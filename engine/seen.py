@@ -62,14 +62,68 @@ def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
     return df.withColumn("part_id", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int"))
 
 
+def _empty_blob(kind: str, nbits: int) -> bytes:
+    if kind == "cuckoo":
+        from engine import cuckoo
+
+        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        return cuckoo.to_blob(cuckoo.new_table(nb), np.array([], dtype=np.int64))
+    return bytes(nbits // 8)
+
+
+def _build_blob(kind: str, nbits: int, nhash: int, h: np.ndarray) -> bytes:
+    if kind == "cuckoo":
+        from engine import cuckoo
+
+        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        table = cuckoo.new_table(nb)
+        stash = cuckoo.insert_many(table, np.array([], dtype=np.int64), h)
+        return cuckoo.to_blob(table, stash)
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    if len(h):
+        _set_bits(bits, _positions(h, nbits, nhash))
+    return bits.tobytes()
+
+
+def _probe_blob(kind: str, nbits: int, nhash: int, blob: bytes, h: np.ndarray) -> np.ndarray:
+    if kind == "cuckoo":
+        from engine import cuckoo
+
+        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        table, stash = cuckoo.from_blob(blob, nb)
+        return cuckoo.probe_many(table, stash, h)
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    return _probe_bits(bits, _positions(h, nbits, nhash))
+
+
+def _update_blob(kind: str, nbits: int, nhash: int, blob: bytes, h: np.ndarray) -> bytes:
+    if kind == "cuckoo":
+        from engine import cuckoo
+
+        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        table, stash = cuckoo.from_blob(blob, nb)
+        stash = cuckoo.insert_many(table, stash, h)
+        return cuckoo.to_blob(table, stash)
+    bits = np.frombuffer(blob, dtype=np.uint8).copy()
+    _set_bits(bits, _positions(h, nbits, nhash))
+    return bits.tobytes()
+
+
 def init_filter(
     spark: SparkSession,
     hashes: DataFrame,
     n_parts: int,
     nbits: int = DEFAULT_NBITS,
     nhash: int = DEFAULT_NHASH,
+    kind: str = "bloom",
 ) -> DataFrame:
-    """Build blobs for ALL n_parts partitions, seeded with ``hashes``."""
+    """Build blobs for ALL n_parts partitions, seeded with ``hashes``.
+
+    ``kind``: 'bloom' (engine default) or 'cuckoo' (engine/cuckoo.py —
+    lower FPR at equal bits, supports deletion; BASELINE.json:6 names
+    both).  Probe/update dispatch on the kind stored in each blob row, so
+    mixed catalogs read correctly.
+    """
     # NB: never union null rows into the url_hash column — a nullable int64
     # batch arrives in pandas as float64 and large hashes silently lose
     # precision (observed as bloom false negatives -> dedup leaks).
@@ -77,13 +131,11 @@ def init_filter(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part_id"].iloc[0])
-        bits = np.zeros(nbits // 8, dtype=np.uint8)
         h = pdf["url_hash"].to_numpy(dtype=np.int64)
         assert h.dtype == np.int64
-        if len(h):
-            _set_bits(bits, _positions(h, nbits, nhash))
+        blob = _build_blob(kind, nbits, nhash, h)
         return pd.DataFrame(
-            [(part, "bloom", nbits, nhash, bits.tobytes(), len(h), 0)],
+            [(part, kind, nbits, nhash, blob, len(h), 0)],
             columns=["part_id", "kind", "nbits", "nhash", "bits", "n_items", "epoch"],
         )
 
@@ -92,13 +144,12 @@ def init_filter(
     # partitions with no seed hashes still need an (empty) blob row
     parts = spark.range(n_parts).select(F.col("id").cast("int").alias("part_id"))
     missing = parts.join(built.select("part_id"), "part_id", "left_anti")
-    zero = bytes(nbits // 8)
     empty_blobs = missing.select(
         "part_id",
-        F.lit("bloom").alias("kind"),
+        F.lit(kind).alias("kind"),
         F.lit(nbits).cast("long").alias("nbits"),
         F.lit(nhash).cast("int").alias("nhash"),
-        F.lit(zero).alias("bits"),
+        F.lit(_empty_blob(kind, nbits)).alias("bits"),
         F.lit(0).cast("long").alias("n_items"),
         F.lit(0).cast("int").alias("epoch"),
     )
@@ -118,13 +169,13 @@ def probe_filter(candidates: DataFrame, blobs: DataFrame, n_parts: int) -> DataF
             out = cand_pdf.copy()
             out["maybe_seen"] = False
             return out
-        bits = np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8)
-        nbits = int(blob_pdf["nbits"].iloc[0])
-        nhash = int(blob_pdf["nhash"].iloc[0])
+        row0 = blob_pdf.iloc[0]
         assert pd.api.types.is_integer_dtype(cand_pdf["url_hash"]), "url_hash must stay int64"
         h = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
         out = cand_pdf.copy()
-        out["maybe_seen"] = _probe_bits(bits, _positions(h, nbits, nhash))
+        out["maybe_seen"] = _probe_blob(
+            row0["kind"], int(row0["nbits"]), int(row0["nhash"]), row0["bits"], h
+        )
         return out
 
     return (
@@ -144,11 +195,10 @@ def update_filter(blobs: DataFrame, new_hashes: DataFrame, n_parts: int, epoch: 
         row = blob_pdf.iloc[0]
         if new_pdf.empty:
             return blob_pdf[[f.name for f in SEEN_FILTER.fields]]
-        bits = np.frombuffer(row["bits"], dtype=np.uint8).copy()
         nbits, nhash = int(row["nbits"]), int(row["nhash"])
         assert pd.api.types.is_integer_dtype(new_pdf["url_hash"]), "url_hash must stay int64"
         h = new_pdf["url_hash"].to_numpy(dtype=np.int64)
-        _set_bits(bits, _positions(h, nbits, nhash))
+        blob = _update_blob(row["kind"], nbits, nhash, row["bits"], h)
         return pd.DataFrame(
             [
                 (
@@ -156,7 +206,7 @@ def update_filter(blobs: DataFrame, new_hashes: DataFrame, n_parts: int, epoch: 
                     row["kind"],
                     nbits,
                     nhash,
-                    bits.tobytes(),
+                    blob,
                     int(row["n_items"]) + len(h),
                     epoch,
                 )

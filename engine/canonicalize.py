@@ -21,6 +21,15 @@ from engine.urlnorm import canonicalize_url
 _HOST_RE = r"^[a-z]+://([^/:?]+)"
 _PATH_RE = r"^[a-z]+://[^/]+(/[^?]*)"
 
+# Fast-path test: URLs matching this are FIXED POINTS of canonicalize_url
+# (lowercase scheme+host, no port/userinfo/query/fragment/percent-escapes,
+# and a path alphabet that cannot contain dot-segments), so they skip the
+# JVM->Python Arrow crossing entirely.  Conservative by construction: any
+# URL this regex cannot prove canonical takes the full pandas-UDF path.
+# On web-shaped link distributions the fast path covers the large majority
+# of outlinks — the dominant per-epoch Python cost at scale.
+CANONICAL_FAST_RE = r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?/[A-Za-z0-9_/-]*$"
+
 
 @F.pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:

@@ -14,21 +14,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from engine.canonicalize import canonicalize_with_base_udf, with_url_keys
+from engine.canonicalize import (
+    CANONICAL_FAST_RE,
+    canonicalize_with_base_udf,
+    with_url_keys,
+)
 from engine.synthgraph import GraphConfig
 
 
 def extract_candidates(fetched: DataFrame, cfg: GraphConfig, n_buckets: int) -> DataFrame:
-    """Successful fetches → deduped canonical child-URL candidates."""
+    """Successful fetches → deduped canonical child-URL candidates.
+
+    C1 fast path: links the CANONICAL_FAST_RE proves already-canonical
+    bypass the pandas UDF (a filter+union of two narrow branches — Spark
+    evaluates Python UDFs eagerly even under ``when()``, so the split is
+    the only way to actually skip the Arrow crossing for the ~95% of
+    already-clean links).
+    """
+    raw = fetched.where(F.col("ok") & (F.col("depth") < F.lit(cfg.max_depth))).select(
+        F.col("url_hash").alias("parent_hash"),
+        F.col("url").alias("base_url"),
+        (F.col("depth") + 1).cast("int").alias("depth"),
+        F.explode("outlinks").alias("raw_url"),
+    )
+    is_fast = F.col("raw_url").rlike(CANONICAL_FAST_RE)
+    fast = raw.where(is_fast).withColumn("url", F.col("raw_url"))
+    slow = raw.where(F.coalesce(~is_fast, F.lit(True))).withColumn(
+        "url", canonicalize_with_base_udf("raw_url", "base_url")
+    )
     links = (
-        fetched.where(F.col("ok") & (F.col("depth") < F.lit(cfg.max_depth)))
-        .select(
-            F.col("url_hash").alias("parent_hash"),
-            F.col("url").alias("base_url"),
-            (F.col("depth") + 1).cast("int").alias("depth"),
-            F.explode("outlinks").alias("raw_url"),
-        )
-        .withColumn("url", canonicalize_with_base_udf("raw_url", "base_url"))
+        fast.unionByName(slow)
         .where(F.col("url").isNotNull())
         .drop("raw_url", "base_url")
     )

@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--filter-parts", type=int, default=16)
     ap.add_argument("--skew-host0", type=int, default=0, help="extra host0000 seeds")
+    ap.add_argument(
+        "--filter-kind", default="bloom", choices=("bloom", "cuckoo"),
+        help="URL-seen sidecar kind (engine/seen.py vs engine/cuckoo.py)",
+    )
+    ap.add_argument(
+        "--bench-budget", type=int, default=None,
+        help="uniform politeness budget override (throughput benches only)",
+    )
     args = ap.parse_args()
 
     cfg: GraphConfig = GRAPHS[args.graph]
@@ -42,6 +50,8 @@ def main() -> None:
         n_buckets=args.n_buckets,
         n_filter_parts=args.filter_parts,
         salt=args.salt,
+        filter_kind=args.filter_kind,
+        bench_budget=args.bench_budget,
     )
     metrics = eng.run(args.epochs, seeds=seeds, resume=args.resume)
     for m in metrics:

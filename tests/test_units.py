@@ -150,3 +150,42 @@ def test_engine_zip_packaging(tmp_path):
     assert "engine/frontier.py" in names
     assert "analytics/relational.py" in names
     assert "pyref/oracle.py" in names
+
+
+def test_canonical_fast_path_is_sound():
+    """Every URL CANONICAL_FAST_RE accepts must be a fixed point of
+    canonicalize_url — otherwise the fast path would change the URL-seen
+    set.  Checked over the full synthetic-graph link space + adversarial
+    shapes; the messy variants must all be REJECTED by the regex."""
+    import re
+
+    from engine.canonicalize import CANONICAL_FAST_RE
+    from engine.synthgraph import BENCH, _messify, synth_doc
+
+    rx = re.compile(CANONICAL_FAST_RE)
+    # full outlink alphabet of the synthetic graph
+    urls = []
+    for h in range(50):
+        for p in range(20):
+            u = f"https://host{h:04d}.example/page/{p}"
+            urls.append(u)
+            urls.append(_messify(u, p))
+            _, links = synth_doc(u, BENCH)
+            urls.extend(links)
+    # adversarial: shapes the regex must reject (not fixed points)
+    urls += [
+        "https://host.example./page/1",       # trailing host dot
+        "https://HOST.example/page/1",        # uppercase host
+        "https://host.example:443/p",         # default port
+        "https://host.example/a/../b",        # dot segments
+        "https://host.example/p#frag",        # fragment
+        "https://host.example/p?utm_source=x",  # query
+        "https://u@host.example/p",           # userinfo
+        "https://host.example/%7Eu",          # escapes
+    ]
+    n_fast = 0
+    for u in urls:
+        if rx.match(u):
+            n_fast += 1
+            assert canonicalize_url(u) == u, f"fast path not a fixed point: {u}"
+    assert n_fast > len(urls) // 2  # the fast path actually covers the bulk

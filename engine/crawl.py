@@ -26,6 +26,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from engine import seen as seenmod
 from engine.canonicalize import path_expr
@@ -198,7 +199,11 @@ class CrawlEngine:
         )
 
         # --- F6/X1/X2 ---
-        fetched = fetch_parse(popped, cfg).persist()
+        # DISK_ONLY for the spans-heavy cache: serialized cache blocks land
+        # in spark.local.dir (tmpfs on the bench box) instead of the heap —
+        # at 32 concurrent tasks the deserialized spans cache drove G1 to
+        # 40s+ of pauses per epoch (tools/diag_host_scaling.py evidence)
+        fetched = fetch_parse(popped, cfg).persist(StorageLevel.DISK_ONLY)
         retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
         stats = fetched.agg(
             F.count(F.when(F.col("ok"), 1)).alias("n_ok"),

@@ -85,3 +85,20 @@ def test_pending_scan_partition_pruning(spark, tmp_path):
     assert "status" in physical and "pending" in physical
     # all rows come back from the pending partition only
     assert q.select("status").distinct().collect()[0]["status"] == "pending"
+
+
+def test_salted_stage1_balances_hot_host(spark):
+    """§5.6 full skew assertion: after salting, no (host, salt) group of
+    the hot host carries more than ~2/S of its rows — i.e. no single task
+    ever sorts the whole hot host."""
+    salt = 16
+    df = _synthetic_frontier(spark, n_hosts=20, hot_rows=8000, cold_rows=5)
+    sizes = (
+        df.where(F.col("host") == "host0000.example")
+        .groupBy(F.pmod("url_hash", F.lit(salt)).alias("s"))
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert len(sizes) == salt  # every salt bucket used
+    assert max(r["count"] for r in sizes) <= 2 * total // salt

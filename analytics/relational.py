@@ -337,14 +337,25 @@ def a2_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("a3_approx_distinct")
+@q(
+    "a3_approx_distinct",
+    """
+    SELECT count(DISTINCT l_orderkey) AS n_exact, TRUE AS within_band
+    FROM lineitem
+    """,
+)
 def a3_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """A3: approx_count_distinct (HLL) — rows-only check; DuckDB's
-    approx_count_distinct uses a different sketch so values can't match.
-    Exactness is bounded by tests/test_analytics_units.py (rsd 5%)."""
-    return load(spark, sf, "lineitem").agg(
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders")
+    """A3: approx_count_distinct (HLL, rsd 5%) with a tolerance-band oracle:
+    Spark's sketch value can never hash-match DuckDB's (different sketch),
+    so the hashed output is (exact count, |approx-exact| <= 3*rsd*exact) —
+    the band check runs in-query and the driver gets a checkable row
+    instead of `no_oracle`."""
+    agg = load(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
+        F.countDistinct("l_orderkey").alias("n_exact"),
     )
+    band = F.abs(F.col("approx") - F.col("n_exact")) <= 3 * 0.05 * F.col("n_exact")
+    return agg.select("n_exact", band.alias("within_band"))
 
 
 @q(
@@ -670,13 +681,17 @@ def x_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ((l_orderkey % 64) + 64) % 64 AS bucket,
            abs(l_discount - 0.05) AS adisc,
-           floor(l_quantity / 7) AS qgrp,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qgrp,
            round(ln(1 + l_extendedprice), 4) AS lprice
     FROM lineitem
     """,
 )
 def x_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """X-math: pmod (the C3 bucketing fn) / abs / floor / log1p."""
+    """X-math: pmod (the C3 bucketing fn) / abs / floor / log1p.
+
+    The oracle CASTs floor() to BIGINT: Spark's floor returns LONG while
+    DuckDB's returns DOUBLE, and the driver's typed value-hash treats
+    3 != 3.0 (the r01 hash_match:false root cause)."""
     li = load(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",

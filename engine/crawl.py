@@ -157,18 +157,29 @@ class CrawlEngine:
             missing = pending.select("host").distinct().join(
                 robots.select("host").distinct(), "host", "left_anti"
             )
-            new_rules = fetch_robots(missing, cfg, epoch)
+            # persist before counting: with a real (non-deterministic)
+            # fetcher, count() + the later snapshot write would otherwise
+            # run the mapInPandas fetch twice and could commit a snapshot
+            # that diverges from the counted n_new_rules
+            new_rules = fetch_robots(missing, cfg, epoch).persist()
             n_new_rules = new_rules.count()
-            if n_new_rules or prev_robots_rows is None:
+            if prev_robots_rows is None:
+                # legacy catalog predating the tracked-count invariant:
+                # count the committed snapshot once before adding deltas
+                prev_robots_rows = robots.count()
+            if n_new_rules:
                 robots = robots.unionByName(new_rules)
                 rob_path = cat.stage_path(epoch, "robots_rules")
                 self._write(robots, rob_path)  # materialize once, reuse twice
                 robots = spark.read.parquet(rob_path)
-                n_robots_rows = (prev_robots_rows or 0) + n_new_rules
+                n_robots_rows = prev_robots_rows + n_new_rules
                 snapshots["robots_rules"] = {"path": rob_path, "rows": n_robots_rows}
-            # else: steady state — every pending host already has rules;
-            # reuse the committed snapshot (carried forward by commit())
+            else:
+                # steady state — every pending host already has rules;
+                # reuse the committed snapshot (carried forward by commit())
+                n_robots_rows = prev_robots_rows
             gated = robots_gate(pending.withColumn("path", path_expr()), robots).drop("path")
+            new_rules.unpersist()
         else:
             gated = pending.withColumn("allowed", F.lit(True))
         gated = gated.persist()

@@ -26,6 +26,23 @@ _EMPTY = 0
 _STASH_CAP = 256  # int64 slots appended after the table
 
 
+def _check_nb(nb: int) -> int:
+    """The bucket-pair involution alt = b XOR H(fp) (mod nb) only closes
+    when nb is a power of two: for any other nb an evicted victim can land
+    outside its probe pair, producing FALSE NEGATIVES (measured: 7/17000
+    at nb=7000) — and a seen-filter FN bypasses the exact D2 anti-join,
+    breaking the engine's exactness contract.  Enforced everywhere a table
+    is created or decoded; callers derive nb via round_down_pow2."""
+    if nb <= 0 or (nb & (nb - 1)) != 0:
+        raise ValueError(f"cuckoo nb_buckets must be a power of two, got {nb}")
+    return nb
+
+
+def round_down_pow2(n: int) -> int:
+    """Largest power of two <= n (>=1)."""
+    return 1 << max(0, n.bit_length() - 1)
+
+
 def _fingerprint(h: np.ndarray) -> np.ndarray:
     """16-bit nonzero fingerprint from the high bits of the 64-bit hash."""
     fp = ((h.view(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -34,17 +51,17 @@ def _fingerprint(h: np.ndarray) -> np.ndarray:
 
 
 def _bucket1(h: np.ndarray, nb: int) -> np.ndarray:
-    return (h.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+    return (h.view(np.uint64) & np.uint64(nb - 1)).astype(np.int64)
 
 
 def _alt_bucket(b: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
     # standard partial-key cuckoo: alt = b XOR H(fp); H = splitmix-ish odd mult
     hfp = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFF)
-    return ((b.view(np.uint64) ^ hfp) % np.uint64(nb)).astype(np.int64)
+    return ((b.view(np.uint64) ^ hfp) & np.uint64(nb - 1)).astype(np.int64)
 
 
 def new_table(nb_buckets: int) -> np.ndarray:
-    return np.zeros(nb_buckets * SLOTS, dtype=np.uint16)
+    return np.zeros(_check_nb(nb_buckets) * SLOTS, dtype=np.uint16)
 
 
 def to_blob(table: np.ndarray, stash: np.ndarray) -> bytes:
@@ -53,7 +70,7 @@ def to_blob(table: np.ndarray, stash: np.ndarray) -> bytes:
 
 
 def from_blob(blob: bytes, nb_buckets: int) -> tuple[np.ndarray, np.ndarray]:
-    tbytes = nb_buckets * SLOTS * 2
+    tbytes = _check_nb(nb_buckets) * SLOTS * 2
     table = np.frombuffer(blob[:tbytes], dtype=np.uint16).copy()
     rest = np.frombuffer(blob[tbytes:], dtype=np.int64)
     n_stash = int(rest[-1])
@@ -91,7 +108,7 @@ def insert_many(table: np.ndarray, stash: np.ndarray, hashes: np.ndarray) -> np.
             slot = int(rng.integers(SLOTS))
             cur_fp, table[base + slot] = int(table[base + slot]), cur_fp
             hfp = (np.uint64(cur_fp) * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFF)
-            cur_b = int((np.uint64(cur_b) ^ hfp) % np.uint64(nb))
+            cur_b = int((np.uint64(cur_b) ^ hfp) & np.uint64(nb - 1))
             base = cur_b * SLOTS
             row = table[base : base + SLOTS]
             empt = np.flatnonzero(row == _EMPTY)

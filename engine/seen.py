@@ -66,7 +66,7 @@ def _empty_blob(kind: str, nbits: int) -> bytes:
     if kind == "cuckoo":
         from engine import cuckoo
 
-        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        nb = cuckoo.round_down_pow2(nbits // (cuckoo.FP_BITS * cuckoo.SLOTS))
         return cuckoo.to_blob(cuckoo.new_table(nb), np.array([], dtype=np.int64))
     return bytes(nbits // 8)
 
@@ -75,7 +75,7 @@ def _build_blob(kind: str, nbits: int, nhash: int, h: np.ndarray) -> bytes:
     if kind == "cuckoo":
         from engine import cuckoo
 
-        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        nb = cuckoo.round_down_pow2(nbits // (cuckoo.FP_BITS * cuckoo.SLOTS))
         table = cuckoo.new_table(nb)
         stash = cuckoo.insert_many(table, np.array([], dtype=np.int64), h)
         return cuckoo.to_blob(table, stash)
@@ -89,7 +89,7 @@ def _probe_blob(kind: str, nbits: int, nhash: int, blob: bytes, h: np.ndarray) -
     if kind == "cuckoo":
         from engine import cuckoo
 
-        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        nb = cuckoo.round_down_pow2(nbits // (cuckoo.FP_BITS * cuckoo.SLOTS))
         table, stash = cuckoo.from_blob(blob, nb)
         return cuckoo.probe_many(table, stash, h)
     bits = np.frombuffer(blob, dtype=np.uint8)
@@ -100,7 +100,7 @@ def _update_blob(kind: str, nbits: int, nhash: int, blob: bytes, h: np.ndarray) 
     if kind == "cuckoo":
         from engine import cuckoo
 
-        nb = nbits // (cuckoo.FP_BITS * cuckoo.SLOTS)
+        nb = cuckoo.round_down_pow2(nbits // (cuckoo.FP_BITS * cuckoo.SLOTS))
         table, stash = cuckoo.from_blob(blob, nb)
         stash = cuckoo.insert_many(table, stash, h)
         return cuckoo.to_blob(table, stash)

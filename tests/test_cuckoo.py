@@ -68,3 +68,32 @@ def test_spark_filter_roundtrip_both_kinds(spark, kind):
     assert blobs2.select("kind").distinct().collect()[0]["kind"] == kind
     probed2 = seenmod.probe_filter(new, blobs2, n_parts=4)
     assert probed2.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_non_pow2_nb_rejected():
+    """alt = b XOR H(fp) is an involution only for power-of-two nb; any
+    other nb silently produced false negatives (7/17000 at nb=7000 before
+    the guard), and a seen-filter FN bypasses the exact D2 anti-join."""
+    import pytest
+
+    for nb in (7000, 6000, 3, 12):
+        with pytest.raises(ValueError):
+            cuckoo.new_table(nb)
+    assert cuckoo.round_down_pow2(7000) == 4096
+    assert cuckoo.round_down_pow2(4096) == 4096
+    assert cuckoo.round_down_pow2(1) == 1
+
+
+def test_no_false_negatives_at_derived_nb():
+    """seen.py derives nb from an arbitrary public nbits arg: the pow2
+    round-down must keep the no-FN guarantee for awkward nbits values."""
+    from engine.seen import _build_blob, _probe_blob
+
+    from engine.cuckoo import FP_BITS, SLOTS, round_down_pow2
+
+    rng = np.random.default_rng(7)
+    for nbits in ((1 << 22) - 8192, 7000 * 64, 6000 * 64):
+        cap = round_down_pow2(nbits // (FP_BITS * SLOTS)) * SLOTS
+        items = rng.integers(-(2**62), 2**62, int(cap * 0.6), dtype=np.int64)
+        blob = _build_blob("cuckoo", nbits, 5, items)
+        assert _probe_blob("cuckoo", nbits, 5, blob, items).all(), nbits

@@ -31,8 +31,10 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # queries round() in-query on both sides, so identical doubles are
-        # expected; 10 sig digits only forgives true last-ulp noise
-        return f"{v:.10g}"
+        # expected; 10 sig digits only forgives true last-ulp noise.  The
+        # "f:" marker keeps float 3.0 distinct from int 3 — the driver's
+        # typed value-hash distinguishes them too (r01 x_math lesson).
+        return f"f:{v:.10g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v

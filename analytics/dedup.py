@@ -18,7 +18,7 @@ pinned by tests/test_dedup.py (candidate set ⊇ truly-similar pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from analytics.common import load
@@ -55,18 +55,32 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------- shared shingle pipeline
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct word-trigram shingles per doc (lead-window construction —
-    mirrored verbatim by the DuckDB oracle)."""
+    """Distinct word-trigram shingles per doc, built with array HOFs.
+
+    Trigram construction is a purely LOCAL array operation: transform over
+    word indexes + array_distinct stays inside WholeStageCodegen with ZERO
+    shuffle (the r01 version's posexplode + lead() window forced a per-doc
+    sort shuffle plus a global distinct shuffle for the same rows — the
+    kind of plan that dies first at 100x corpus scale).  The DuckDB oracle
+    keeps the window formulation; both produce the same distinct
+    (doc_id, shingle) set."""
     d = load(spark, sf, "documents")
-    w = Window.partitionBy("doc_id").orderBy("idx")
-    return (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word"))
-        .withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
-        .distinct()
+    words = F.split("text", " ")
+    n = F.size(words)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
     )
+    # sequence(1, n-2) would count DOWN for n < 3 — guard to an empty array
+    shingles = F.when(n >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 _SHINGLES_SQL = """

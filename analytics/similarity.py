@@ -190,3 +190,99 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("qid", "cid", "rk", F.round("cos", 4).alias("cos"))
     )
+
+
+N_BLOCKS = 8
+
+
+@q("emb_cosine_pairs_blocked")
+def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine pairs >= 0.35 via distributed blocked GEMM — the scale
+    path for exact-threshold pair search (same result set as
+    ``emb_cosine_pairs``; set-equality pinned in tests/test_pipeline_ops.py,
+    i.e. recall = 1.0 by construction, stronger than the 0.95 an ANN
+    candidate stage would promise).
+
+    Why not LSH candidates here: this corpus is isotropic (uniform random
+    64-dim vectors — measured pair cosines top out at 0.51, and passing
+    pairs sit at 0.35-0.51 where a random hyperplane agrees with
+    probability only 0.61 vs 0.50 background).  Banding at any (r, b) that
+    reaches 0.95 recall on a p=0.61 pair emits >= 0.4 background
+    collisions per RANDOM pair — i.e. candidates ~ all pairs, a sham
+    prune.  Hyperplane LSH prunes only clustered corpora; for those,
+    ``ann_lsh_bucketed`` is the construction.  The honest exact-pair scale
+    design is FAISS-style blocking: every vector is replicated into the
+    N_BLOCKS block-pair groups it participates in (shuffle O(B*n) rows),
+    each group computes its pair block with one vectorized numpy GEMM
+    (Arrow batches, no per-row Python), so compute is O(n^2/B^2) per task
+    — embarrassingly parallel, no task ever holds more than 2n/B vectors.
+    At a real 100 TB scale B grows with the corpus so the per-task block
+    stays cache-sized; candidate memory never exceeds the emitted pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_BLOCKS))
+    # row in block k joins group (gi, gj) as: left when k == gi, right when
+    # k == gj (diagonal groups hold each row once, flagged both sides)
+    groups = F.array(
+        *(
+            [
+                F.when(
+                    blk == i,
+                    F.struct(F.lit(i).alias("gi"), F.lit(j).alias("gj"), F.lit("L").alias("side")),
+                )
+                for i in range(N_BLOCKS)
+                for j in range(i, N_BLOCKS)
+            ]
+            + [
+                F.when(
+                    blk == j,
+                    F.struct(F.lit(i).alias("gi"), F.lit(j).alias("gj"), F.lit("R").alias("side")),
+                )
+                for i in range(N_BLOCKS)
+                for j in range(i + 1, N_BLOCKS)
+            ]
+        )
+    )
+    exploded = (
+        e.withColumn("g", F.explode(F.filter(groups, lambda s: s.isNotNull())))
+        .select("vec_id", "embedding", "g.gi", "g.gj", "g.side")
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["gi"].iloc[0] == pdf["gj"].iloc[0]
+        left = pdf if diag else pdf[pdf["side"] == "L"]
+        right = pdf if diag else pdf[pdf["side"] == "R"]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"v1": [], "v2": [], "cos": []})
+        lid = left["vec_id"].to_numpy()
+        rid = right["vec_id"].to_numpy()
+        lm = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        rm = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sim = lm @ rm.T
+        if diag:
+            # same set on both sides: each unordered pair appears twice,
+            # keep the lid < rid orientation
+            mask = (sim >= 0.35) & (lid[:, None] < rid[None, :])
+        else:
+            # disjoint blocks: each unordered pair appears exactly once,
+            # in EITHER orientation — normalize to (min, max) below
+            mask = sim >= 0.35
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "v1": np.minimum(lid[ii], rid[jj]),
+                "v2": np.maximum(lid[ii], rid[jj]),
+                "cos": np.round(sim[ii, jj], 4),
+            }
+        )
+
+    return (
+        exploded.groupBy("gi", "gj")
+        .applyInPandas(gemm, "v1 long, v2 long, cos double")
+        .select("v1", "v2", "cos")
+    )

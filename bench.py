@@ -29,7 +29,10 @@ HEADLINE = (
     "canonicalize_urls",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "emb_cosine_pairs",
+    # blocked GEMM replaces the r01 all-pairs HOF join as the headline
+    # exact-pair query (same result set, pinned by
+    # tests/test_pipeline_ops.py::test_blocked_gemm_pairs_equal_exact)
+    "emb_cosine_pairs_blocked",
     "ann_topk_bruteforce",
     "text_quality",
     "doc_fingerprint",

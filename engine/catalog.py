@@ -107,8 +107,49 @@ class SnapshotCatalog:
     # ---- reads (always of committed state only) ----
     def read_snapshot(self, table: str, epoch: int | None = None) -> DataFrame:
         ep = self.last_epoch() if epoch is None else epoch
-        path = self.manifest(ep)["snapshots"][table]["path"]
-        return self.spark.read.parquet(path)
+        entry = self.manifest(ep)["snapshots"][table]
+        if "parts" in entry:
+            return self.read_parts(entry["parts"])
+        return self.spark.read.parquet(entry["path"])
+
+    # ---- cell-granular snapshots (frontier) ----
+    # The frontier snapshot is a dict of (status, host_bucket) CELLS, each a
+    # list of immutable leaf dirs: ``parts = {"pending/3": [dir, ...]}``.
+    # An epoch commit replaces only the pending cells it touched and APPENDS
+    # moved-row dirs to terminal cells — the manifest-level equivalent of
+    # Iceberg's add/remove-data-file commit (SC6), giving O(delta) epochs:
+    # done/failed cells are never rewritten, and a pending scan prunes at
+    # the MANIFEST (no file listing of terminal cells at all).
+
+    @staticmethod
+    def cell_key(status: str, bucket: int) -> str:
+        return f"{status}/{bucket}"
+
+    def frontier_parts(self, epoch: int | None = None) -> dict | None:
+        """Cell map of the committed frontier, or None for a legacy
+        whole-table snapshot (pre-cell catalogs; migrated on next epoch)."""
+        ep = self.last_epoch() if epoch is None else epoch
+        return self.manifest(ep)["snapshots"]["frontier"].get("parts")
+
+    def read_parts(
+        self,
+        parts: dict,
+        status: str | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame | None:
+        """Union of the selected cells' leaf dirs; None when no cell matches
+        (caller supplies the empty frame — the catalog is schema-agnostic)."""
+        paths = []
+        for cell, dirs in parts.items():
+            st, _, bk = cell.partition("/")
+            if status is not None and st != status:
+                continue
+            if buckets is not None and int(bk) not in buckets:
+                continue
+            paths.extend(dirs)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     def read_appended(self, table: str, up_to_epoch: int | None = None) -> DataFrame | None:
         last = self.last_epoch() if up_to_epoch is None else up_to_epoch

@@ -22,6 +22,7 @@ protocol both rely on.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,7 +33,7 @@ from engine import seen as seenmod
 from engine.canonicalize import path_expr
 from engine.catalog import SnapshotCatalog
 from engine.fetch import fetch_parse
-from engine.frontier import merge_frontier, pop_frontier, retry_transition
+from engine.frontier import pop_frontier, retry_transition
 from engine.lineage import partition_lineage, write_metrics_parquet
 from engine.parse import extract_candidates
 from engine.robots import fetch_robots, robots_gate
@@ -58,7 +59,7 @@ class CrawlEngine:
         use_robots: bool = True,
         use_seen_filter: bool = True,
         default_k: int = 1,
-        partition_frontier_by_status: bool = True,
+        partition_frontier_by_status: bool = True,  # retained arg: cells always partition by (status, host_bucket) now
         bench_budget: int | None = None,
         filter_kind: str = "bloom",
     ):
@@ -74,7 +75,6 @@ class CrawlEngine:
         self.default_k = default_k
         self.bench_budget = bench_budget
         self.filter_kind = filter_kind
-        self.partition_cols = ["status"] if partition_frontier_by_status else []
         self.catalog = SnapshotCatalog(spark, root)
 
     # ------------------------------------------------------------------ init
@@ -83,8 +83,9 @@ class CrawlEngine:
         cat = self.catalog
         frontier = seeds_to_frontier(self.spark, seeds, self.n_buckets, seed_path)
         fr_path = cat.stage_path(0, "frontier")
-        self._write(frontier, fr_path, self.partition_cols)
-        frontier = self.spark.read.parquet(fr_path)
+        cells = self._write_bucket_cells(frontier, os.path.join(fr_path, "pending"))
+        parts0 = {cat.cell_key("pending", b): [p] for b, p in cells.items()}
+        frontier = cat.read_parts(parts0)
 
         # bench_budget: uniform politeness budget for throughput benches
         # (politeness *semantics* are identical; only the k value changes,
@@ -104,7 +105,7 @@ class CrawlEngine:
 
         n_frontier = frontier.count()
         snapshots = {
-            "frontier": {"path": fr_path, "rows": n_frontier},
+            "frontier": {"rows": n_frontier, "parts": parts0},
             "politeness_budgets": {"path": bud_path, "rows": budgets.count()},
             "robots_rules": {"path": rob_path, "rows": 0},
         }
@@ -140,14 +141,26 @@ class CrawlEngine:
     def run_epoch(self, epoch: int) -> dict:
         t0 = time.time()
         spark, cat, cfg = self.spark, self.catalog, self.cfg
-        frontier = cat.read_snapshot("frontier")
         budgets = cat.read_snapshot("politeness_budgets")
         prev_meta = cat.manifest(cat.last_epoch()).get("meta", {})
         prev_rows = prev_meta.get("frontier_rows")
         prev_pending = prev_meta.get("pending")
         prev_robots_rows = prev_meta.get("robots_rows")
 
-        pending = frontier.where(F.col("status") == "pending")  # SC3 partition prune
+        # SC3 scan prune: with a cell-granular snapshot the pending scan is
+        # pruned at the MANIFEST — terminal (done/failed/disallowed) cells
+        # are never even listed, let alone read.  Legacy whole-table
+        # snapshots fall back to a status filter (and are migrated to cells
+        # by this epoch's commit).
+        parts = cat.frontier_parts()
+        if parts is not None:
+            frontier = cat.read_snapshot("frontier")
+            pending = cat.read_parts(parts, status="pending")
+            if pending is None:
+                pending = spark.createDataFrame([], FRONTIER)
+        else:
+            frontier = cat.read_snapshot("frontier")
+            pending = frontier.where(F.col("status") == "pending")
 
         # --- R1 + R2 ---
         snapshots: dict = {}
@@ -262,7 +275,12 @@ class CrawlEngine:
         n_new = inserts.count()
         n_disallowed = disallowed.count()  # cached via gated
 
-        # --- F7 merge ---
+        # --- F7 merge (cell-granular, O(delta)) ---
+        # Only (status, host_bucket) cells holding popped/disallowed/insert
+        # rows are rewritten; rows leaving 'pending' are APPENDED as new
+        # immutable dirs under their terminal cell.  Terminal cells are
+        # never rewritten — the manifest-level analogue of Iceberg MERGE
+        # INTO's add/remove-file commit (engine/catalog.py SC6 notes).
         updates = retry_transition(fetched, cfg.max_retries).unionByName(
             disallowed.select(
                 "url_hash",
@@ -271,11 +289,58 @@ class CrawlEngine:
                 F.lit(None).cast("double").alias("new_priority"),
             )
         )
-        new_frontier = merge_frontier(
-            frontier.select(*[f.name for f in FRONTIER.fields]), updates, inserts
+        touched = sorted(
+            r[0]
+            for r in popped.select("host_bucket")
+            .unionByName(disallowed.select("host_bucket"))
+            .unionByName(inserts.select("host_bucket"))
+            .distinct()
+            .collect()
+            if r[0] is not None
         )
-        fr_path = cat.stage_path(epoch, "frontier")
-        self._write(new_frontier, fr_path, self.partition_cols)
+        cols = [f.name for f in FRONTIER.fields]
+        fr_dir = cat.stage_path(epoch, "frontier")
+        legacy_carry = None
+        if parts is None:
+            # one-time migration of a legacy whole-table snapshot to cells
+            pending_src = frontier.where(
+                (F.col("status") == "pending") & F.col("host_bucket").isin(touched)
+            )
+            legacy_carry = frontier.where(
+                (F.col("status") != "pending") | ~F.col("host_bucket").isin(touched)
+            ).select(*cols)
+            base_parts: dict = {}
+        else:
+            pending_src = cat.read_parts(parts, status="pending", buckets=set(touched))
+            if pending_src is None:
+                pending_src = spark.createDataFrame([], FRONTIER)
+            base_parts = {
+                cell: list(dirs)
+                for cell, dirs in parts.items()
+                if not (cell.startswith("pending/") and int(cell.split("/")[1]) in set(touched))
+            }
+        merged = (
+            pending_src.select(*cols)
+            .join(updates, "url_hash", "left")
+            .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
+            .withColumn("retries", F.coalesce(F.col("new_retries"), F.col("retries")))
+            .withColumn("priority", F.coalesce(F.col("new_priority"), F.col("priority")))
+            .drop("new_status", "new_retries", "new_priority")
+        )
+        stay = merged.where(F.col("status") == "pending").select(*cols).unionByName(
+            inserts.select(*cols)
+        )
+        moved = merged.where(F.col("status") != "pending").select(*cols)
+        new_parts = dict(base_parts)
+        for b, p in self._write_bucket_cells(stay, os.path.join(fr_dir, "pending")).items():
+            new_parts[cat.cell_key("pending", b)] = [p]
+        for (st, b), p in self._write_status_cells(moved, os.path.join(fr_dir, "moved")).items():
+            new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+        if legacy_carry is not None:
+            for (st, b), p in self._write_status_cells(
+                legacy_carry, os.path.join(fr_dir, "carry")
+            ).items():
+                new_parts.setdefault(cat.cell_key(st, b), []).append(p)
 
         # --- D3 filter update ---
         if self.use_seen_filter:
@@ -298,9 +363,9 @@ class CrawlEngine:
                 prev_pending - n_popped - n_disallowed + n_retry_pending + n_new
             )
         else:
-            committed_frontier = spark.read.parquet(fr_path)
-            pending_end = committed_frontier.where(F.col("status") == "pending").count()
-            frontier_rows = committed_frontier.count()
+            committed_pending = cat.read_parts(new_parts, status="pending")
+            pending_end = committed_pending.count() if committed_pending is not None else 0
+            frontier_rows = cat.read_parts(new_parts).count()
         wall = time.time() - t0
         metrics = {
             "urls_popped": n_popped,
@@ -339,7 +404,7 @@ class CrawlEngine:
         appends["metrics"] = {"path": mpath, "rows": len(metrics)}
 
         # --- K1 atomic commit ---
-        snapshots["frontier"] = {"path": fr_path, "rows": frontier_rows}
+        snapshots["frontier"] = {"rows": frontier_rows, "parts": new_parts}
         cat.commit(
             epoch,
             snapshots,
@@ -385,3 +450,48 @@ class CrawlEngine:
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
+
+    @staticmethod
+    def _write_bucket_cells(df: DataFrame, path: str) -> dict[int, str]:
+        """Write pending rows as one leaf dir per host_bucket cell.
+
+        The ``_hb`` duplicate keeps host_bucket IN the data files (a hive
+        leaf dir read directly would otherwise lose its partition column);
+        repartition on it yields exactly one file per cell instead of
+        tasks × cells.  Returns {bucket: leaf_dir}.
+        """
+        (
+            df.withColumn("_hb", F.col("host_bucket"))
+            .repartition("_hb")
+            .write.mode("overwrite")
+            .partitionBy("_hb")
+            .parquet(path)
+        )
+        return {
+            int(d.split("=")[1]): os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("_hb=")
+        }
+
+    @staticmethod
+    def _write_status_cells(df: DataFrame, path: str) -> dict[tuple[str, int], str]:
+        """Write rows leaving 'pending' as (status, host_bucket) leaf dirs —
+        these get APPENDED to their terminal cells, which are never
+        rewritten.  Returns {(status, bucket): leaf_dir}."""
+        (
+            df.withColumn("_st", F.col("status"))
+            .withColumn("_hb", F.col("host_bucket"))
+            .repartition("_st", "_hb")
+            .write.mode("overwrite")
+            .partitionBy("_st", "_hb")
+            .parquet(path)
+        )
+        out: dict[tuple[str, int], str] = {}
+        for d_st in os.listdir(path):
+            if not d_st.startswith("_st="):
+                continue
+            st = d_st.split("=")[1]
+            for d_hb in os.listdir(os.path.join(path, d_st)):
+                if d_hb.startswith("_hb="):
+                    out[(st, int(d_hb.split("=")[1]))] = os.path.join(path, d_st, d_hb)
+        return out

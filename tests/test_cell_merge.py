@@ -1,0 +1,49 @@
+"""F7 cell-granular merge: an epoch rewrites a strict subset of cells.
+
+SURVEY.md §1.2 / §2.1-F7: the frontier snapshot is partitioned by
+(status, host_bucket); epoch K's commit must (a) never rewrite a terminal
+cell — rows entering done/failed/disallowed are APPENDED as new immutable
+dirs — and (b) carry forward every untouched cell's dirs by identity.
+This is the sandbox analogue of Iceberg MERGE INTO's O(delta) file commit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.crawl import CrawlEngine
+from engine.synthgraph import TINY
+
+
+@pytest.mark.slow
+def test_terminal_cells_append_only(spark, tmp_path):
+    from engine.synthgraph import gen_seed_urls
+
+    eng = CrawlEngine(spark, str(tmp_path / "c"), TINY, n_buckets=8, n_filter_parts=4)
+    eng.run(3, gen_seed_urls(TINY))
+    cat = eng.catalog
+    assert cat.last_epoch() >= 3
+
+    for ep in range(2, cat.last_epoch() + 1):
+        prev, cur = cat.frontier_parts(ep - 1), cat.frontier_parts(ep)
+        assert prev is not None and cur is not None
+        for cell, dirs in prev.items():
+            st = cell.split("/")[0]
+            if st == "pending":
+                continue
+            # terminal cell: previous dirs must survive verbatim, in order
+            assert cur.get(cell, [])[: len(dirs)] == dirs, (ep, cell)
+        # strict subset: at least one dir from an older epoch is reused
+        reused = [
+            d
+            for dirs in cur.values()
+            for d in dirs
+            if f"epoch={ep:06d}" not in d
+        ]
+        assert reused, f"epoch {ep} rewrote every cell"
+
+    # integrity: committed frontier has unique url_hash and matching count
+    fr = cat.read_snapshot("frontier")
+    n = fr.count()
+    assert n == fr.select("url_hash").distinct().count()
+    assert n == cat.manifest(cat.last_epoch())["meta"]["frontier_rows"]

@@ -80,3 +80,20 @@ def test_media_frame_sample_stride(spark):
     for r in rows:
         assert r["frame_idx"] % 240 == 0
         assert r["frame_idx"] < r["n_frames"]
+
+
+def test_blocked_gemm_pairs_equal_exact(spark):
+    """Blocked-GEMM pair search is EXACT: identical pair set and cosines
+    (to the rounded 4 decimals) as the all-pairs HOF baseline — recall 1.0
+    by construction, no LSH approximation involved."""
+    exact = {
+        (r["v1"], r["v2"]): r["cos"]
+        for r in similarity.emb_cosine_pairs(spark, SF_TEST).collect()
+    }
+    blocked = {
+        (r["v1"], r["v2"]): r["cos"]
+        for r in similarity.emb_cosine_pairs_blocked(spark, SF_TEST).collect()
+    }
+    assert set(exact) == set(blocked)
+    for p in exact:
+        assert abs(exact[p] - blocked[p]) <= 1e-4, (p, exact[p], blocked[p])

@@ -148,37 +148,44 @@ def best_of(runs: list[dict]) -> dict:
 
 
 def main() -> None:
+    """argv: [n_hosts] [pages] [epochs] [repeats] [n_lo] [n_hi]
+
+    n_lo/n_hi default to 8/32; the north rule's N-to-4N pair can also be
+    evidenced at 2/8 (less host contention on the shared 32-core box)."""
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    n_lo = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    n_hi = int(sys.argv[6]) if len(sys.argv) > 6 else 32
+    factor = n_hi / n_lo
 
-    runs8, runs32 = [], []
+    runs_lo, runs_hi = [], []
     for rep in range(repeats):  # interleave legs to decorrelate host drift
-        r8 = run_pinned(8, n_hosts, pages, epochs)
-        print(json.dumps(r8), flush=True)
-        runs8.append(r8)
-        r32 = run_pinned(32, n_hosts, pages, epochs)
-        print(json.dumps(r32), flush=True)
-        runs32.append(r32)
+        r_lo = run_pinned(n_lo, n_hosts, pages, epochs)
+        print(json.dumps(r_lo), flush=True)
+        runs_lo.append(r_lo)
+        r_hi = run_pinned(n_hi, n_hosts, pages, epochs)
+        print(json.dumps(r_hi), flush=True)
+        runs_hi.append(r_hi)
 
-    b8, b32 = best_of(runs8), best_of(runs32)
+    b_lo, b_hi = best_of(runs_lo), best_of(runs_hi)
     out = {
         "protocol": (
-            "same job, same input, taskset-pinned local[8] vs local[32], "
-            f"interleaved x{repeats}; epoch 1 = JIT/worker warm-up, epoch 2 "
-            "measured; min wall across repeats (host contention episodes "
-            "swing identical runs 2-5x; raw runs above)"
+            f"same job, same input, taskset-pinned local[{n_lo}] vs "
+            f"local[{n_hi}], interleaved x{repeats}; epoch 1 = JIT/worker "
+            "warm-up, last epoch measured; min wall across repeats (host "
+            "contention episodes swing identical runs 2-5x; raw runs above)"
         ),
         "n_seed_urls": n_hosts * pages,
         "epochs": epochs,
-        "local8": b8,
-        "local32": b32,
+        f"local{n_lo}": b_lo,
+        f"local{n_hi}": b_hi,
         "scaling_efficiency_best": round(
-            (b32["urls_per_sec_best"] / b8["urls_per_sec_best"]) / 4, 3
+            (b_hi["urls_per_sec_best"] / b_lo["urls_per_sec_best"]) / factor, 3
         ),
         "scaling_efficiency_median": round(
-            (b32["urls_per_sec_median"] / b8["urls_per_sec_median"]) / 4, 3
+            (b_hi["urls_per_sec_median"] / b_lo["urls_per_sec_median"]) / factor, 3
         ),
     }
     print(json.dumps(out))

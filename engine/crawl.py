@@ -62,6 +62,7 @@ class CrawlEngine:
         partition_frontier_by_status: bool = True,  # retained arg: cells always partition by (status, host_bucket) now
         bench_budget: int | None = None,
         filter_kind: str = "bloom",
+        max_cell_dirs: int = 16,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -75,6 +76,7 @@ class CrawlEngine:
         self.default_k = default_k
         self.bench_budget = bench_budget
         self.filter_kind = filter_kind
+        self.max_cell_dirs = max_cell_dirs
         self.catalog = SnapshotCatalog(spark, root)
 
     # ------------------------------------------------------------------ init
@@ -341,6 +343,7 @@ class CrawlEngine:
                 legacy_carry, os.path.join(fr_dir, "carry")
             ).items():
                 new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+        new_parts = self._compact_cells(new_parts, fr_dir)
 
         # --- D3 filter update ---
         if self.use_seen_filter:
@@ -444,6 +447,25 @@ class CrawlEngine:
         return out
 
     # ---------------------------------------------------------------- helpers
+    def _compact_cells(self, new_parts: dict, fr_dir: str) -> dict:
+        """Bound cell fragmentation: a terminal cell accumulates one appended
+        dir per epoch that touches it; past ``max_cell_dirs`` the cell is
+        rewritten into a single dir (Iceberg's rewrite_data_files analogue).
+        Amortized cost stays O(delta): each row is rewritten at most once
+        per max_cell_dirs epochs."""
+        frag = {c: d for c, d in new_parts.items() if len(d) > self.max_cell_dirs}
+        if not frag:
+            return new_parts
+        df = self.spark.read.parquet(*[p for dirs in frag.values() for p in dirs])
+        out = dict(new_parts)
+        for cell in frag:
+            del out[cell]
+        for (st, b), p in self._write_status_cells(
+            df, os.path.join(fr_dir, "compact")
+        ).items():
+            out[self.catalog.cell_key(st, b)] = [p]
+        return out
+
     @staticmethod
     def _write(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")

@@ -47,3 +47,27 @@ def test_terminal_cells_append_only(spark, tmp_path):
     n = fr.count()
     assert n == fr.select("url_hash").distinct().count()
     assert n == cat.manifest(cat.last_epoch())["meta"]["frontier_rows"]
+
+
+@pytest.mark.slow
+def test_cell_compaction_bounds_fragmentation(spark, tmp_path):
+    """With max_cell_dirs=1 every fragmented cell is rewritten to a single
+    dir each epoch; committed frontier content is unchanged (same rows as
+    an uncompacted run)."""
+    from engine.synthgraph import gen_seed_urls
+
+    a = CrawlEngine(spark, str(tmp_path / "a"), TINY, n_buckets=8, n_filter_parts=4)
+    b = CrawlEngine(
+        spark, str(tmp_path / "b"), TINY, n_buckets=8, n_filter_parts=4, max_cell_dirs=1
+    )
+    a.run(3, gen_seed_urls(TINY))
+    b.run(3, gen_seed_urls(TINY))
+    for cell, dirs in b.catalog.frontier_parts().items():
+        assert len(dirs) <= 1, (cell, dirs)
+    rows_a = sorted(
+        tuple(r) for r in a.catalog.read_snapshot("frontier").collect()
+    )
+    rows_b = sorted(
+        tuple(r) for r in b.catalog.read_snapshot("frontier").collect()
+    )
+    assert rows_a == rows_b

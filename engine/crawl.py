@@ -231,6 +231,10 @@ class CrawlEngine:
         # 40s+ of pauses per epoch (tools/diag_host_scaling.py evidence)
         fetched = fetch_parse(popped, cfg).persist(StorageLevel.DISK_ONLY)
         retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
+        # one job: fetch metrics + the popped rows' host_bucket set (feeds
+        # the F7 touched-cell computation without a second pass; bucket is
+        # re-derived from host — the same pmod(xxhash64) as with_url_keys)
+        bucket_of_host = F.pmod(F.xxhash64("host"), F.lit(self.n_buckets)).cast("int")
         stats = fetched.agg(
             F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
             F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
@@ -238,9 +242,11 @@ class CrawlEngine:
             F.coalesce(
                 F.sum(F.when(F.col("ok"), F.size("outlinks"))), F.lit(0)
             ).alias("links"),
+            F.collect_set(bucket_of_host).alias("bks"),
         ).collect()[0]
         n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
         n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
+        popped_buckets = set(stats["bks"])
         n_popped = n_ok + n_fail
         docs = fetched.where("ok").select(
             F.col("url").alias("doc_id"),
@@ -274,8 +280,14 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             "parent_hash",
         ).persist()
-        n_new = inserts.count()
-        n_disallowed = disallowed.count()  # cached via gated
+        ins_stats = inserts.agg(
+            F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
+        ).collect()[0]
+        n_new, insert_buckets = int(ins_stats["n"]), set(ins_stats["bks"])
+        dis_stats = disallowed.agg(  # cached via gated
+            F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
+        ).collect()[0]
+        n_disallowed, dis_buckets = int(dis_stats["n"]), set(dis_stats["bks"])
 
         # --- F7 merge (cell-granular, O(delta)) ---
         # Only (status, host_bucket) cells holding popped/disallowed/insert
@@ -292,13 +304,7 @@ class CrawlEngine:
             )
         )
         touched = sorted(
-            r[0]
-            for r in popped.select("host_bucket")
-            .unionByName(disallowed.select("host_bucket"))
-            .unionByName(inserts.select("host_bucket"))
-            .distinct()
-            .collect()
-            if r[0] is not None
+            b for b in popped_buckets | dis_buckets | insert_buckets if b is not None
         )
         cols = [f.name for f in FRONTIER.fields]
         fr_dir = cat.stage_path(epoch, "frontier")

@@ -44,13 +44,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return crawl_queries.frontier_pop(spark, "/root/testdata/sf0.001")
 
 
+# Run-order: r01's driver recorded only the first 50 registered queries, so
+# the 13 entries it never reached (or failed) are registered FIRST this round
+# — every query then has a hard driver signal in r01 ∪ r02.
+_FRONT = (
+    "x_math_funcs",
+    "x_map_funcs",
+    "x_struct_funcs",
+    "ud5_grouped_agg_udaf",
+    "emb_cosine_pairs",
+    "emb_cosine_pairs_blocked",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "text_quality",
+    "text_langid",
+    "token_count",
+    "doc_fingerprint",
+    "media_decode_stub",
+    "media_frame_sample",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    flat: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
-            assert name not in out, f"duplicate query name {name}"
-            out[name] = _with_pythonpath(fn)
+            assert name not in flat, f"duplicate query name {name}"
+            flat[name] = _with_pythonpath(fn)
+    out = {name: flat.pop(name) for name in _FRONT if name in flat}
+    out.update(flat)
     return out
 
 

@@ -104,6 +104,14 @@ def run_crawl_bench(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # tmpfs for shuffle/spill when available: the bench box's single virtio
+    # disk ANTI-scales under concurrent writers (BENCH/BASELINE.md §2 probe
+    # table) — /dev/shm stands in for a real cluster's distributed shuffle
+    # storage.  Must be set before the JVM launches.
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = "/dev/shm/spark-bench"
+        os.makedirs(shm, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = shm
     from engine.session import build_session
 
     spark = build_session(

@@ -261,14 +261,27 @@ class CrawlEngine:
         frontier_keys = frontier.select("url_hash")
         if self.use_seen_filter:
             seen = cat.read_snapshot("seen_filter")
-            probed = seenmod.probe_filter(cands, seen, self.n_filter_parts).persist()
-            n_cands = probed.count()
-            new_rows = seenmod.dedup_new(probed, frontier_keys)
+            probed = seenmod.probe_filter(cands, seen, self.n_filter_parts)
+            flagged = seenmod.flag_new(probed, frontier_keys).persist()
         else:
-            cands = cands.persist()
-            n_cands = cands.count()
-            new_rows = cands.join(frontier_keys, "url_hash", "left_anti")
-        inserts = new_rows.select(
+            marker = frontier_keys.withColumn("_seen", F.lit(True))
+            flagged = (
+                cands.join(marker, "url_hash", "left")
+                .withColumn("is_new", F.col("_seen").isNull())
+                .drop("_seen")
+                .persist()
+            )
+        # ONE job for candidate count + insert count + touched buckets
+        # (collect_set and conditional count both skip nulls, so the
+        # when(is_new, ...) projections aggregate the insert subset only)
+        ins_stats = flagged.agg(
+            F.count("*").alias("n_cands"),
+            F.count(F.when(F.col("is_new"), 1)).alias("n"),
+            F.collect_set(F.when(F.col("is_new"), F.col("host_bucket"))).alias("bks"),
+        ).collect()[0]
+        n_cands = int(ins_stats["n_cands"])
+        n_new, insert_buckets = int(ins_stats["n"]), set(ins_stats["bks"])
+        inserts = flagged.where("is_new").select(
             "url_hash",
             "url",
             "host",
@@ -279,11 +292,7 @@ class CrawlEngine:
             F.lit("pending").alias("status"),
             F.lit(0).cast("int").alias("retries"),
             "parent_hash",
-        ).persist()
-        ins_stats = inserts.agg(
-            F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
-        ).collect()[0]
-        n_new, insert_buckets = int(ins_stats["n"]), set(ins_stats["bks"])
+        )
         dis_stats = disallowed.agg(  # cached via gated
             F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
         ).collect()[0]
@@ -426,12 +435,8 @@ class CrawlEngine:
             },
         )
 
-        for df in (gated, popped, fetched, inserts):
+        for df in (gated, popped, fetched, flagged):
             df.unpersist()
-        if self.use_seen_filter:
-            probed.unpersist()
-        else:
-            cands.unpersist()
         return metrics
 
     # ------------------------------------------------------------------- run

@@ -221,10 +221,21 @@ def update_filter(blobs: DataFrame, new_hashes: DataFrame, n_parts: int, epoch: 
     )
 
 
-def dedup_new(candidates_probed: DataFrame, frontier_keys: DataFrame) -> DataFrame:
-    """D2: exact dedup.  Bloom-negative rows skip the anti-join entirely;
-    maybe-seen rows are exactly checked against the frontier key set."""
-    definitely_new = candidates_probed.where(~F.col("maybe_seen"))
+def flag_new(candidates_probed: DataFrame, frontier_keys: DataFrame) -> DataFrame:
+    """D2 exact dedup, flag form: KEEPS every candidate row, adding
+    ``is_new`` instead of anti-join-filtering — ``where(is_new)`` is
+    row-identical to the left_anti formulation (J4, the driver-checked
+    `j4_left_anti_join` parity query), and the flag lets the engine compute
+    candidate-count and insert-count metrics in ONE job over one cached
+    frame.  Bloom shuffle-cut preserved: only maybe-seen rows reach the
+    join.  The left join is key-unique by the frontier invariant (one row
+    per url_hash, enforced by the F7 merge)."""
+    definitely_new = candidates_probed.withColumn("is_new", ~F.col("maybe_seen")).where(
+        ~F.col("maybe_seen")
+    )
     maybe = candidates_probed.where(F.col("maybe_seen"))
-    survivors = maybe.join(frontier_keys.select("url_hash"), "url_hash", "left_anti")
-    return definitely_new.unionByName(survivors).drop("maybe_seen", "part_id")
+    marker = frontier_keys.select("url_hash").withColumn("_seen", F.lit(True))
+    checked = maybe.join(marker, "url_hash", "left").withColumn(
+        "is_new", F.col("_seen").isNull()
+    ).drop("_seen")
+    return definitely_new.unionByName(checked).drop("maybe_seen", "part_id")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -344,30 +345,72 @@ class CrawlEngine:
             .withColumn("priority", F.coalesce(F.col("new_priority"), F.col("priority")))
             .drop("new_status", "new_retries", "new_priority")
         )
-        stay = merged.where(F.col("status") == "pending").select(*cols).unionByName(
-            inserts.select(*cols)
-        )
-        moved = merged.where(F.col("status") != "pending").select(*cols)
-        new_parts = dict(base_parts)
-        for b, p in self._write_bucket_cells(stay, os.path.join(fr_dir, "pending")).items():
-            new_parts[cat.cell_key("pending", b)] = [p]
-        for (st, b), p in self._write_status_cells(moved, os.path.join(fr_dir, "moved")).items():
-            new_parts.setdefault(cat.cell_key(st, b), []).append(p)
-        if legacy_carry is not None:
+        # ONE write for the whole frontier delta (stay + inserts + moved):
+        # a single shuffle and a single job where the r01 form ran two jobs
+        # that EACH recomputed the merge join.  Touched pending cells are
+        # replaced; terminal cells gain one appended dir.
+        delta = merged.unionByName(inserts.select(*cols))
+
+        def write_frontier() -> dict:
+            new_parts = dict(base_parts)
             for (st, b), p in self._write_status_cells(
-                legacy_carry, os.path.join(fr_dir, "carry")
+                delta, os.path.join(fr_dir, "cells")
             ).items():
-                new_parts.setdefault(cat.cell_key(st, b), []).append(p)
-        new_parts = self._compact_cells(new_parts, fr_dir)
+                if st == "pending":
+                    new_parts[cat.cell_key("pending", b)] = [p]
+                else:
+                    new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+            if legacy_carry is not None:
+                for (st, b), p in self._write_status_cells(
+                    legacy_carry, os.path.join(fr_dir, "carry")
+                ).items():
+                    new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+            return self._compact_cells(new_parts, fr_dir)
 
         # --- D3 filter update ---
-        if self.use_seen_filter:
+        def write_seen() -> None:
             new_blobs = seenmod.update_filter(
                 seen, inserts.select("url_hash"), self.n_filter_parts, epoch
             )
             sf_path = cat.stage_path(epoch, "seen_filter")
             self._write(new_blobs, sf_path)
             snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
+
+        # --- appends: documents, crawl_log, lineage, metrics ---
+        appends = {}
+        in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
+        lineage = (
+            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
+            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
+            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
+        )
+
+        def write_append(name: str, df: DataFrame, rows: int | None) -> None:
+            path = cat.stage_path(epoch, name)
+            self._write(df, path)
+            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
+
+        # All six epoch outputs derive only from materialized caches (popped/
+        # fetched/flagged/gated) or committed parquet, so their write JOBS are
+        # independent — submit them from a thread pool and let the scheduler
+        # interleave tasks.  This overlaps per-job driver latency (scheduling,
+        # file listing, commit protocol) that otherwise serializes ~6 jobs per
+        # epoch — the constant cost that caps N->4N scaling efficiency on
+        # fast epochs.  Atomicity is untouched: nothing is visible until the
+        # manifest rename below, and a failure in ANY write aborts the epoch
+        # before commit (futures re-raise here).
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fut_frontier = pool.submit(write_frontier)
+            fut_rest = [
+                pool.submit(write_seen) if self.use_seen_filter else None,
+                pool.submit(write_append, "documents", docs, n_ok),
+                pool.submit(write_append, "crawl_log", crawl_log, n_popped),
+                pool.submit(write_append, "lineage", lineage.coalesce(1), None),
+            ]
+            new_parts = fut_frontier.result()
+            for f in fut_rest:
+                if f is not None:
+                    f.result()
 
         # --- metrics (definitions shared with pyref.oracle) ---
         # pending_end and frontier_rows follow arithmetically from the
@@ -398,23 +441,6 @@ class CrawlEngine:
             "wall_ms": wall * 1000.0,
             "urls_per_sec": (n_popped / wall) if wall > 0 else 0.0,
         }
-
-        # --- appends: documents, crawl_log, lineage, metrics ---
-        appends = {}
-        in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
-        lineage = (
-            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
-            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
-            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
-        )
-        for name, df, rows in (
-            ("documents", docs, n_ok),
-            ("crawl_log", crawl_log, n_popped),
-            ("lineage", lineage.coalesce(1), None),
-        ):
-            path = cat.stage_path(epoch, name)
-            self._write(df, path)
-            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
         # metrics are driver-resident scalars: write the parquet directly via
         # pyarrow — zero Spark jobs, same schema as engine.schemas.METRICS
         mpath = cat.stage_path(epoch, "metrics")

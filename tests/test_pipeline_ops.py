@@ -64,6 +64,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with N_PROBE=4 of N_LISTS=16 lists scans ~25% of the corpus per
+    query; on this near-isotropic corpus expected top-5 recall is well
+    above the scan fraction (neighbors correlate with the probed
+    centroids).  Floor at 0.4; also pin determinism across two runs."""
+    bf = {
+        (r["qid"], r["cid"]) for r in similarity.ann_topk_bruteforce(spark, SF_TEST).collect()
+    }
+    ivf1 = {(r["qid"], r["cid"]) for r in similarity.ann_ivf(spark, SF_TEST).collect()}
+    ivf2 = {(r["qid"], r["cid"]) for r in similarity.ann_ivf(spark, SF_TEST).collect()}
+    assert ivf1 == ivf2, "IVF result must be deterministic"
+    recall = len(bf & ivf1) / len(bf)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
 def test_media_decode_deterministic_schema(spark):
     out = multimodal.decode_media(multimodal.media_table(spark, SF_TEST))
     a = sorted(out.select("doc_id", "n_bytes", "width", "height").collect())

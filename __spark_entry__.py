@@ -44,24 +44,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return crawl_queries.frontier_pop(spark, "/root/testdata/sf0.001")
 
 
-# Run-order: r01's driver recorded only the first 50 registered queries, so
-# the 13 entries it never reached (or failed) are registered FIRST this round
-# — every query then has a hard driver signal in r01 ∪ r02.
+# Run-order: the driver records only the first 50 registered queries per
+# round, so each round front-registers the entries with the STALEST driver
+# signal.  r03: `ann_ivf` (never driver-run) + the 13 queries whose last
+# driver row is r01 — i.e. predates the round-2 cell-granular F7 merge and
+# the zero-shuffle shingle rewrite (VERDICT.md r02 "What's missing" #1).
 _FRONT = (
-    "x_math_funcs",
-    "x_map_funcs",
-    "x_struct_funcs",
-    "ud5_grouped_agg_udaf",
-    "emb_cosine_pairs",
-    "emb_cosine_pairs_blocked",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "text_quality",
-    "text_langid",
-    "token_count",
-    "doc_fingerprint",
-    "media_decode_stub",
-    "media_frame_sample",
+    "ann_ivf",
+    "frontier_pop",
+    "frontier_merge",
+    "robots_longest_prefix",
+    "canonicalize_urls",
+    "seed_ingest",
+    "url_keys",
+    "synth_fetch_spans",
+    "bloom_probe",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "st5_session_window",
 )
 
 

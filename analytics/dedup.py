@@ -54,10 +54,11 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------- shared shingle pipeline
-def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct word-trigram shingles per doc, built with array HOFs.
+def _shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word-trigram shingles
+    per doc as a LOCAL array column.
 
-    Trigram construction is a purely LOCAL array operation: transform over
+    Trigram construction is a purely local array operation: transform over
     word indexes + array_distinct stays inside WholeStageCodegen with ZERO
     shuffle (the r01 version's posexplode + lead() window forced a per-doc
     sort shuffle plus a global distinct shuffle for the same rows — the
@@ -80,7 +81,14 @@ def _shingles(spark: SparkSession, sf: str) -> DataFrame:
     shingles = F.when(n >= 3, F.array_distinct(tri)).otherwise(
         F.array().cast("array<string>")
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return d.select("doc_id", shingles.alias("shingles"))
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exploded (doc_id, shingle) rows — the inverted-index join's input."""
+    return _shingle_arrays(spark, sf).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 _SHINGLES_SQL = """
@@ -155,23 +163,37 @@ def _perm_coeffs() -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
 
 
-def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → (doc_id, sig: array<long>[N_PERM]).
+def minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) → (doc_id, sig: array<long>[N_PERM]).
 
-    All-JVM: xxhash64 the shingle once, then N_PERM universal-hash
-    permutations (a*h + b mod 2^31-1; products < 2^62, safe under ANSI),
-    min-reduced per doc by a single hash aggregation.
+    Fully LOCAL: xxhash64 each shingle once into a per-doc hash array, then
+    each of the N_PERM universal-hash permutations (a*h + b mod 2^31-1;
+    products < 2^62, safe under ANSI) is an ``array_min(transform(...))``
+    over that local array — zero shuffle, all WholeStageCodegen.  The r02
+    version exploded to (doc, shingle) rows and ran a 64-column min hash
+    aggregation: one full shuffle of every (doc, shingle, 64 longs) row,
+    which at 100 TB is the corpus re-shuffled 64-wide for a per-doc-local
+    computation.  Docs with zero shingles get no signature row (same
+    contract as the exploded formulation, where they vanish at explode).
+
+    Expressions are built as ONE ``F.expr`` string, not 64 ``F.transform``
+    lambdas: each Python-lambda HOF costs a py4j round-trip chain at plan
+    build plus a first-analysis JIT hit — measured 19.4 s plan build for
+    the lambda form vs 1.8 s for a single parsed expression (same plan).
     """
-    hm = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    perms = [
-        F.pmod(F.lit(a) * hm + F.lit(b), F.lit(_MERSENNE)).alias(f"p{i}")
-        for i, (a, b) in enumerate(_perm_coeffs())
-    ]
-    mins = [F.min(f"p{i}").alias(f"m{i}") for i in range(N_PERM)]
-    agg = shingles.select("doc_id", *perms).groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
+    hashed = shingle_arrays.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}L))").alias("hs"),
     )
+    sig_expr = (
+        "array("
+        + ",".join(
+            f"array_min(transform(hs, h -> pmod({a}L*h+{b}L, {_MERSENNE}L)))"
+            for (a, b) in _perm_coeffs()
+        )
+        + ")"
+    )
+    return hashed.select("doc_id", F.expr(sig_expr).alias("sig"))
 
 
 @q("dedup_minhash_lsh")
@@ -181,7 +203,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     O(collisions), not O(n²); the exact verifier then runs only on
     candidates.  Rows-only for the driver (bucketed-candidate recall is
     asserted vs exact Jaccard in tests/test_dedup.py)."""
-    sigs = minhash_signatures(_shingles(spark, sf)).persist()
+    sigs = minhash_signatures(_shingle_arrays(spark, sf)).persist()
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -230,31 +252,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash(64) near-dup: per-word xxhash64 → bitwise majority vote →
     two 32-bit halves (no 64-bit overflow under ANSI) → 4×16-bit banded
-    candidate join → exact Hamming ≤ 6 filter.  All JVM-side."""
+    candidate join → exact Hamming ≤ 6 filter.  All JVM-side.
+
+    The fingerprint is fully LOCAL (same design move as
+    minhash_signatures): ONE ``aggregate`` pass over the doc's word-hash
+    array carries a 64-slot vote accumulator (``transform`` with index
+    extracts each bit), so nothing shuffles until the (doc_id, fp) rows —
+    the r02 version exploded to (doc, word) rows and ran a 64-column sum
+    hash aggregation, a full corpus shuffle for a per-doc computation.
+    Built as one parsed expression (py4j-lambda plan-build cost, see
+    minhash_signatures)."""
     d = load(spark, sf, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    h = F.xxhash64("word")
-    votes = [
-        F.sum(
-            (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = words.groupBy("doc_id").agg(*votes)
-    lo = sum(
-        [F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(32)],
-        F.lit(0).cast("long"),
+    votes_expr = (
+        "aggregate(transform(split(text, ' '), w -> xxhash64(w)), "
+        "array_repeat(0L, 64), "
+        "(acc, h) -> transform(acc, (v, i) -> "
+        "v + CAST(shiftrightunsigned(h, i) & 1 AS BIGINT) * 2L - 1L))"
     )
-    hi = sum(
-        [
-            F.when(F.col(f"v{j + 32}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for j in range(32)
-        ],
-        F.lit(0).cast("long"),
+    lo_expr = "+".join(f"IF(votes[{j}] > 0, {1 << j}L, 0L)" for j in range(32))
+    hi_expr = "+".join(f"IF(votes[{j + 32}] > 0, {1 << j}L, 0L)" for j in range(32))
+    fp = (
+        d.select("doc_id", F.expr(votes_expr).alias("votes"))
+        .select(
+            "doc_id",
+            F.expr(lo_expr).alias("sim_lo"),
+            F.expr(hi_expr).alias("sim_hi"),
+        )
+        .persist()
     )
-    fp = agg.select("doc_id", lo.alias("sim_lo"), hi.alias("sim_hi")).persist()
     # 4 bands of 16 bits each (2 per half): near-dups (Hamming<=6) must
     # collide on >=1 band only if <=3 differing bands — banded recall is
     # probabilistic for 4..6 bit flips spread across all bands; candidates

@@ -230,8 +230,15 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         "cent_id",
         cosine(F.col("embedding"), F.col("cent")).alias("cs"),
     )
+    # argmax tie-break: exact cosine ties happen (queries 0-9 ARE centroids,
+    # cos=1.0 with themselves and any duplicate vector), and a bare
+    # max_by(cent_id, cs) is then nondeterministic across partitionings.
+    # Ordering by struct(cs, -cent_id) makes it the lowest cent_id among the
+    # maxima — same rule as the probe side's row_number window.
     assign = scored.groupBy("vec_id").agg(
-        F.max_by("cent_id", "cs").alias("list_id"),
+        F.max_by(
+            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
+        ).alias("list_id"),
         F.first("embedding").alias("ce"),
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("cent_id"))
@@ -256,7 +263,19 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 N_BLOCKS = 8
 
 
-@q("emb_cosine_pairs_blocked")
+@q(
+    "emb_cosine_pairs_blocked",
+    # identical oracle to emb_cosine_pairs: the blocked plan is exact by
+    # construction (set-equality also pinned in tests/test_pipeline_ops.py),
+    # so the scale path itself is driver-hash-checked.
+    """
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
 def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine pairs >= 0.35 via distributed blocked GEMM — the scale
     path for exact-threshold pair search (same result set as

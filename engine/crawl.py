@@ -203,13 +203,29 @@ class CrawlEngine:
         eligible = gated.where(F.col("allowed"))
 
         # --- politeness k + F5 pop ---
-        elig_k = eligible.join(
-            F.broadcast(
-                budgets.select("host", F.col("max_fetches_per_epoch").alias("k"))
-            ),
-            "host",
-            "left",
-        ).fillna({"k": self.default_k})
+        # effective k = logical budget ∧ delay cap: a host with
+        # min_delay_s = d > 0 fits only floor(epoch_window_s/d)+1 fetches
+        # in the epoch's logical window (same rule as pyref/oracle.py and
+        # synthgraph.delay_cap — floor division on doubles in both).
+        delay_cap_expr = F.when(
+            F.col("min_delay_s") > 0,
+            (F.floor(F.lit(cfg.epoch_window_s) / F.col("min_delay_s")) + 1).cast("int"),
+        ).otherwise(F.lit((1 << 31) - 1))
+        elig_k = (
+            eligible.join(
+                F.broadcast(
+                    budgets.select(
+                        "host",
+                        F.col("max_fetches_per_epoch").alias("k"),
+                        "min_delay_s",
+                    )
+                ),
+                "host",
+                "left",
+            )
+            .fillna({"k": self.default_k, "min_delay_s": 0.0})
+            .withColumn("k", F.least(F.col("k"), delay_cap_expr))
+        )
         popped = pop_frontier(elig_k, self.salt).persist()
         # Materialize each persisted stage ONCE, in dependency order, before
         # anything downstream references it from multiple branches.  Without
@@ -265,7 +281,10 @@ class CrawlEngine:
             probed = seenmod.probe_filter(cands, seen, self.n_filter_parts)
             flagged = seenmod.flag_new(probed, frontier_keys).persist()
         else:
-            marker = frontier_keys.withColumn("_seen", F.lit(True))
+            # dropDuplicates for the same duplicate-immunity as
+            # seen.flag_new (left join ≡ left_anti only under key-unique
+            # marker; the dedup reuses the join's url_hash exchange)
+            marker = frontier_keys.dropDuplicates().withColumn("_seen", F.lit(True))
             flagged = (
                 cands.join(marker, "url_hash", "left")
                 .withColumn("is_new", F.col("_seen").isNull())

@@ -8,11 +8,16 @@ north-star).  The content source is the deterministic synthetic graph
 production this function body is the HTTP client + HTML tokenizer, with the
 same batch signature.
 
-Politeness delay bookkeeping (min_delay_s) would live inside the batch
-loop: after F5's window shuffle the popped rows arrive host-clustered, so
-per-host serialization is local to a task (SURVEY.md §2.1 F6).  The sandbox
-budgets set min_delay_s=0.0 (FIXTURES.md §4) — the logical budget k is the
-politeness contract under test.
+Politeness delay bookkeeping (min_delay_s): the pop order within a host IS
+the fetch order (F5's fetch_seq_in_host), so each row's logical fetch time
+is ``fetch_at_s = fetch_seq_in_host * min_delay_s`` — computed vectorized
+inside the batch and guaranteed <= cfg.epoch_window_s because the F5 pop
+caps k at floor(window/delay)+1 (engine/crawl.py delay_cap_expr; parity
+with pyref under nonzero delays pinned by tests/test_politeness_delay.py).
+In production the batch loop additionally sleeps to the fetch_at_s
+schedule per host — rows arrive host-clustered after F5's shuffle, so the
+serialization is local to a task (SURVEY.md §2.1 F6); with the synthetic
+zero-latency fetcher the schedule is bookkeeping only.
 """
 
 from __future__ import annotations
@@ -27,7 +32,11 @@ from engine.synthgraph import GraphConfig, fetch_fails, synth_doc
 
 
 def fetch_parse(popped: DataFrame, cfg: GraphConfig) -> DataFrame:
-    """(url_hash, url, host, depth, retries) → FETCHED schema rows."""
+    """(url_hash, url, host, depth, retries[, fetch_seq_in_host,
+    min_delay_s]) → FETCHED schema rows.  The two optional columns drive
+    the fetch_at_s delay schedule; absent (e.g. the synth_fetch_spans
+    parity query feeds a raw frontier), the schedule is all-zero."""
+    has_delay = {"fetch_seq_in_host", "min_delay_s"} <= set(popped.columns)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -47,6 +56,12 @@ def fetch_parse(popped: DataFrame, cfg: GraphConfig) -> DataFrame:
                     ]
                 )
                 links_col.append(outlinks)
+            if has_delay:
+                fetch_at = (
+                    pdf["fetch_seq_in_host"].astype("float64") * pdf["min_delay_s"]
+                )
+            else:
+                fetch_at = 0.0
             yield pd.DataFrame(
                 {
                     "url_hash": pdf["url_hash"],
@@ -57,8 +72,11 @@ def fetch_parse(popped: DataFrame, cfg: GraphConfig) -> DataFrame:
                     "ok": oks,
                     "spans": spans_col,
                     "outlinks": links_col,
+                    "fetch_at_s": fetch_at,
                 }
             )
 
     cols = ["url_hash", "url", "host", "depth", "retries"]
+    if has_delay:
+        cols += ["fetch_seq_in_host", "min_delay_s"]
     return popped.select(*cols).mapInPandas(run, FETCHED)

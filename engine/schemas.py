@@ -121,5 +121,8 @@ FETCHED = StructType(
         StructField("ok", BooleanType()),
         StructField("spans", ArrayType(SPAN_TYPE)),
         StructField("outlinks", ArrayType(StringType())),
+        # logical fetch time within the epoch window: fetch_seq_in_host *
+        # min_delay_s (politeness delay bookkeeping; 0.0 when no delay)
+        StructField("fetch_at_s", DoubleType()),
     ]
 )

@@ -221,6 +221,68 @@ def update_filter(blobs: DataFrame, new_hashes: DataFrame, n_parts: int, epoch: 
     )
 
 
+def delete_from_filter(
+    blobs: DataFrame, gone_hashes: DataFrame, n_parts: int, epoch: int
+) -> DataFrame:
+    """Retire hashes from a CUCKOO filter snapshot — the deletion capability
+    bloom lacks (engine/cuckoo.py delete_many).
+
+    Decision on engine wiring (VERDICT r02 #7): deletion's production use is
+    the RECRAWL path — frontier rows whose documents age past a TTL are
+    retired from the seen filter and re-inserted as pending, so the next
+    epoch re-fetches them through the normal D1/D2 pipeline.  The sandbox
+    crawl semantics (BASELINE.json:6) define a single-pass crawl with no
+    TTL, so the engine loop deliberately does NOT call this; it is the
+    catalog-level primitive the recrawl flow plugs into, kept correct by
+    the round-trip test (tests/test_cuckoo.py::test_delete_from_filter_*).
+    Calling it on a bloom blob raises — silently "deleting" from a bloom
+    would corrupt the exactness routing contract.
+
+    Same cogrouped applyInPandas shape as update_filter: one shuffle of the
+    retired hashes by part_id, blobs stay partition-aligned.
+    """
+    gone = with_part_id(gone_hashes.select("url_hash"), n_parts)
+
+    def rm(gone_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blob_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in SEEN_FILTER.fields])
+        row = blob_pdf.iloc[0]
+        if gone_pdf.empty:
+            return blob_pdf[[f.name for f in SEEN_FILTER.fields]]
+        if row["kind"] != "cuckoo":
+            raise ValueError(
+                f"delete_from_filter requires kind='cuckoo', got {row['kind']!r}"
+            )
+        from engine import cuckoo
+
+        assert pd.api.types.is_integer_dtype(gone_pdf["url_hash"]), "url_hash must stay int64"
+        h = gone_pdf["url_hash"].to_numpy(dtype=np.int64)
+        nbits = int(row["nbits"])
+        nb = cuckoo.round_down_pow2(nbits // (cuckoo.FP_BITS * cuckoo.SLOTS))
+        table, stash = cuckoo.from_blob(row["bits"], nb)
+        stash = cuckoo.delete_many(table, stash, h)
+        return pd.DataFrame(
+            [
+                (
+                    int(row["part_id"]),
+                    row["kind"],
+                    nbits,
+                    int(row["nhash"]),
+                    cuckoo.to_blob(table, stash),
+                    max(0, int(row["n_items"]) - len(h)),
+                    epoch,
+                )
+            ],
+            columns=[f.name for f in SEEN_FILTER.fields],
+        )
+
+    return (
+        gone.groupBy("part_id")
+        .cogroup(blobs.groupBy("part_id"))
+        .applyInPandas(rm, SEEN_FILTER)
+    )
+
+
 def flag_new(candidates_probed: DataFrame, frontier_keys: DataFrame) -> DataFrame:
     """D2 exact dedup, flag form: KEEPS every candidate row, adding
     ``is_new`` instead of anti-join-filtering — ``where(is_new)`` is
@@ -228,13 +290,24 @@ def flag_new(candidates_probed: DataFrame, frontier_keys: DataFrame) -> DataFram
     `j4_left_anti_join` parity query), and the flag lets the engine compute
     candidate-count and insert-count metrics in ONE job over one cached
     frame.  Bloom shuffle-cut preserved: only maybe-seen rows reach the
-    join.  The left join is key-unique by the frontier invariant (one row
-    per url_hash, enforced by the F7 merge)."""
+    join.
+
+    The marker side is ``dropDuplicates``-ed: the left join is only
+    row-identical to left_anti when the join key is unique, and while the
+    F7 merge enforces one-frontier-row-per-url_hash, a corrupted frontier
+    would otherwise silently MULTIPLY candidate rows (inflating
+    n_cands/inserts and writing duplicate frontier rows).  The dedup's
+    pre-shuffle partial agg hashes on the same url_hash the join shuffles
+    on, so its exchange is reused by the join — near-free at any scale,
+    and it turns the uniqueness invariant from an assumption into a
+    guarantee."""
     definitely_new = candidates_probed.withColumn("is_new", ~F.col("maybe_seen")).where(
         ~F.col("maybe_seen")
     )
     maybe = candidates_probed.where(F.col("maybe_seen"))
-    marker = frontier_keys.select("url_hash").withColumn("_seen", F.lit(True))
+    marker = (
+        frontier_keys.select("url_hash").dropDuplicates().withColumn("_seen", F.lit(True))
+    )
     checked = maybe.join(marker, "url_hash", "left").withColumn(
         "is_new", F.col("_seen").isNull()
     ).drop("_seen")

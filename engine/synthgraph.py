@@ -32,6 +32,14 @@ class GraphConfig:
     graph_seed: int = 42
     fail_mod: int = 0  # 0 = fetches never fail; 20 = 5% deterministic failures
     max_retries: int = 2
+    # politeness delay semantics (logical time — deterministic, no wall clock):
+    # an epoch is a window of epoch_window_s logical seconds; a host with
+    # min_delay_s = d > 0 fetches at t = 0, d, 2d, ..., so at most
+    # floor(window/d) + 1 fetches fit — the effective per-epoch budget is
+    # min(max_fetches_per_epoch, that cap).  delay_mod > 0 assigns hosts
+    # deterministic delays in [0, delay_mod) seconds (0 = all delays 0.0).
+    epoch_window_s: float = 10.0
+    delay_mod: int = 0
 
 
 TINY = GraphConfig(n_hosts=20, max_pages=50, max_depth=4)
@@ -139,9 +147,30 @@ def budget_for_host(host: str) -> int:
     return 1 + xxh64_u(host) % 5
 
 
+def min_delay_for_host(host: str, cfg: GraphConfig) -> float:
+    """Deterministic per-host min_delay_s in [0, delay_mod) whole seconds
+    (0.0 for every host when cfg.delay_mod <= 0 — the default fixtures)."""
+    if cfg.delay_mod <= 0:
+        return 0.0
+    return float(xxh64_u(f"delay:{host}:{cfg.graph_seed}") % cfg.delay_mod)
+
+
+def delay_cap(min_delay_s: float, window_s: float) -> int:
+    """Max fetches that fit in one epoch window at the given delay: fetches
+    at t = 0, d, 2d, ... <= window  =>  floor(window/d) + 1.  Shared by the
+    engine (as the equivalent Spark expression in engine/crawl.py) and the
+    pyref oracle so both cap the per-epoch pop identically."""
+    if min_delay_s <= 0:
+        return (1 << 31) - 1
+    return int(window_s // min_delay_s) + 1
+
+
 def gen_budgets(cfg: GraphConfig) -> list[tuple[str, int, float]]:
     """politeness_budgets rows (host, max_fetches_per_epoch, min_delay_s)."""
-    return [(_host(h), budget_for_host(_host(h)), 0.0) for h in range(cfg.n_hosts)]
+    return [
+        (_host(h), budget_for_host(_host(h)), min_delay_for_host(_host(h), cfg))
+        for h in range(cfg.n_hosts)
+    ]
 
 
 def robots_rules_for_host(host: str, graph_seed: int = 42) -> list[tuple[int, bool, str, float]]:

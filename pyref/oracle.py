@@ -14,6 +14,9 @@ ever lands, swap this module out (SURVEY.md §0.2 makes that a one-line
 change in tests/conftest.py).
 
 Normative ordering rules (the engine must implement these exactly):
+  * per-host per-epoch pop budget: min(max_fetches_per_epoch,
+    floor(epoch_window_s / min_delay_s) + 1) — the delay cap is the
+    politeness min-delay semantics in logical time (synthgraph.delay_cap)
   * pop key within a host: ascending (priority, depth, url_hash)
   * fetch_seq_in_host: 0-based rank in that order, per (epoch, host)
   * robots gate: every pending URL whose path is disallowed transitions to
@@ -34,7 +37,9 @@ from dataclasses import dataclass, field
 from engine.synthgraph import (
     GraphConfig,
     budget_for_host,
+    delay_cap,
     fetch_fails,
+    min_delay_for_host,
     robots_allowed,
     robots_rules_for_host,
     synth_doc,
@@ -112,7 +117,13 @@ def run_crawl(
             by_host[r.host].append((h, r))
         popped = []
         for host, cands in by_host.items():
-            k = budget_for_host(host)
+            # effective budget = logical k ∧ delay cap: with min_delay_s = d
+            # only floor(window/d)+1 fetches fit in the epoch window
+            # (engine/crawl.py applies the identical cap as a Spark expr)
+            k = min(
+                budget_for_host(host),
+                delay_cap(min_delay_for_host(host, cfg), cfg.epoch_window_s),
+            )
             cands.sort(key=lambda t: (t[1].priority, t[1].depth, t[0]))
             for seq, (h, r) in enumerate(cands[:k]):
                 res.crawl_log.append((epoch, host, seq, r.url, h))

@@ -70,6 +70,39 @@ def test_spark_filter_roundtrip_both_kinds(spark, kind):
     assert probed2.where(~F.col("maybe_seen")).count() == 0
 
 
+def test_delete_from_filter_roundtrip(spark):
+    """Retire-hashes flow through the Spark cogroup path (seen.py D3⁻¹):
+    kept hashes keep zero FNs; deleted hashes drop back below the FPR
+    band; re-inserting a retired hash (the recrawl flow) probes positive
+    again."""
+    keys = spark.range(0, 20000).select(F.xxhash64("id").alias("url_hash"))
+    gone = keys.where(F.pmod("url_hash", F.lit(2)) == 0)
+    kept = keys.where(F.pmod("url_hash", F.lit(2)) != 0)
+    blobs = seenmod.init_filter(spark, keys, n_parts=4, nbits=1 << 21, kind="cuckoo")
+    blobs2 = seenmod.delete_from_filter(blobs, gone, n_parts=4, epoch=2).persist()
+    assert seenmod.probe_filter(kept, blobs2, n_parts=4).where(
+        ~F.col("maybe_seen")
+    ).count() == 0  # no collateral FNs
+    hit_rate = (
+        seenmod.probe_filter(gone, blobs2, n_parts=4)
+        .agg(F.avg(F.col("maybe_seen").cast("double")))
+        .collect()[0][0]
+    )
+    assert hit_rate < 0.05  # deleted items gone (fp collisions allowed)
+    blobs3 = seenmod.update_filter(blobs2, gone, n_parts=4, epoch=3)
+    assert seenmod.probe_filter(gone, blobs3, n_parts=4).where(
+        ~F.col("maybe_seen")
+    ).count() == 0  # recrawl re-insert restores membership
+    blobs2.unpersist()
+
+
+def test_delete_from_filter_rejects_bloom(spark):
+    keys = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    blobs = seenmod.init_filter(spark, keys, n_parts=2, nbits=1 << 16, kind="bloom")
+    with pytest.raises(Exception, match="cuckoo"):
+        seenmod.delete_from_filter(blobs, keys, n_parts=2, epoch=1).collect()
+
+
 def test_non_pow2_nb_rejected():
     """alt = b XOR H(fp) is an involution only for power-of-two nb; any
     other nb silently produced false negatives (7/17000 at nb=7000 before

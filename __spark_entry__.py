@@ -46,10 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the STALEST driver
-# signal.  r03: `ann_ivf` (never driver-run) + the 13 queries whose last
-# driver row is r01 — i.e. predates the round-2 cell-granular F7 merge and
-# the zero-shuffle shingle rewrite (VERDICT.md r02 "What's missing" #1).
+# signal.  r03: the two new cluster-resolution queries (first driver run),
+# `ann_ivf` (never driver-run) + the 13 queries whose last driver row is
+# r01 — i.e. predates the round-2 cell-granular F7 merge and the
+# zero-shuffle shingle rewrite (VERDICT.md r02 "What's missing" #1).
 _FRONT = (
+    "dedup_clusters",
+    "dedup_keep_list",
     "ann_ivf",
     "frontier_pop",
     "frontier_merge",

@@ -30,6 +30,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + a round-robin repartition to core count when the scan
+    yields fewer partitions than cores.
+
+    The sf test tables are single parquet files below
+    ``files.maxPartitionBytes``, so Spark plans ONE input partition and a
+    downstream per-row compute (64-perm MinHash, SimHash votes) runs
+    serially on one core — measured 14.7 s for dedup_minhash_lsh at sf0.1
+    on a 32-core box that should do it in ~2 s.  The repartition shuffles
+    only the raw rows once (sub-MB here).  At production scale the scan
+    already has thousands of partitions and this is a no-op — the gate
+    reads the plan's partitioning, it never triggers a job.
+    """
+    df = load(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

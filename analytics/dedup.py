@@ -1,27 +1,34 @@
 """Training-data deduplication operators over the ``documents`` table.
 
-Four families, all scale-first designs:
+Five families, all scale-first designs:
 
 - exact: content-hash groupBy — one shuffle on the hash, map-side partial
   agg; at 100 TB this is the cheapest pass and runs first.
 - n-gram Jaccard: exact pairwise similarity restricted to shingle-sharing
   pairs (the inverted-index join), never all-pairs.
 - MinHash + LSH: signature → banded bucket-join; candidate volume is
-  O(colliding pairs), independent of corpus², entirely JVM-side
-  (xxhash64 + modular permutations — no Python in the hot path).
+  O(colliding pairs), independent of corpus²; signatures are computed by
+  ONE Arrow-vectorized numpy pass per permutation (no per-element Python,
+  JVM twin kept as the semantics oracle).
 - SimHash: 64-bit fingerprint + banded Hamming candidate join.
+- cluster resolution: dup-pair edges → connected components via the
+  SoCC'14 alternating star algorithm (O(log n) rounds), then the
+  anti-join survivor list.
 
-Jaccard/exact have DuckDB oracles (same shingle construction on both
-sides); MinHash/SimHash are rows-only for the driver and are instead
-pinned by tests/test_dedup.py (candidate set ⊇ truly-similar pairs).
+Jaccard/exact/clusters/keep-list have DuckDB oracles (same shingle
+construction on both sides; components via recursive-CTE closure);
+MinHash/SimHash are rows-only for the driver and are instead pinned by
+tests/test_pipeline_ops.py (candidate set ⊇ truly-similar pairs).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from analytics.common import load
+from analytics.common import load, load_spread
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -65,7 +72,7 @@ def _shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
     kind of plan that dies first at 100x corpus scale).  The DuckDB oracle
     keeps the window formulation; both produce the same distinct
     (doc_id, shingle) set."""
-    d = load(spark, sf, "documents")
+    d = load_spread(spark, sf, "documents")
     words = F.split("text", " ")
     n = F.size(words)
     tri = F.transform(
@@ -163,28 +170,74 @@ def _perm_coeffs() -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
 
 
-def minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
-    """(doc_id, shingles: array<string>) → (doc_id, sig: array<long>[N_PERM]).
-
-    Fully LOCAL: xxhash64 each shingle once into a per-doc hash array, then
-    each of the N_PERM universal-hash permutations (a*h + b mod 2^31-1;
-    products < 2^62, safe under ANSI) is an ``array_min(transform(...))``
-    over that local array — zero shuffle, all WholeStageCodegen.  The r02
-    version exploded to (doc, shingle) rows and ran a 64-column min hash
-    aggregation: one full shuffle of every (doc, shingle, 64 longs) row,
-    which at 100 TB is the corpus re-shuffled 64-wide for a per-doc-local
-    computation.  Docs with zero shingles get no signature row (same
-    contract as the exploded formulation, where they vanish at explode).
-
-    Expressions are built as ONE ``F.expr`` string, not 64 ``F.transform``
-    lambdas: each Python-lambda HOF costs a py4j round-trip chain at plan
-    build plus a first-analysis JIT hit — measured 19.4 s plan build for
-    the lambda form vs 1.8 s for a single parsed expression (same plan).
-    """
-    hashed = shingle_arrays.where(F.size("shingles") > 0).select(
+def _hashed_shingles(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<long>) — xxhash64 of each distinct shingle,
+    mapped into [0, 2^31-1).  Local, zero-shuffle, JVM-side."""
+    return shingle_arrays.where(F.size("shingles") > 0).select(
         "doc_id",
         F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}L))").alias("hs"),
     )
+
+
+def minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) → (doc_id, sig: array<long>[N_PERM]).
+
+    Two stages, both per-doc LOCAL (zero shuffle):
+      1. JVM: xxhash64 each distinct shingle once into a per-doc hash
+         array (``_hashed_shingles``);
+      2. Arrow: the 64 universal-hash minima via ONE vectorized pandas UDF
+         — each permutation is a single numpy pass (a*h + b mod 2^31-1;
+         products < 2^62, exact in uint64) over the batch's concatenated
+         hash array followed by a per-doc segmented min
+         (``np.minimum.reduceat``), i.e. 64 flat vector ops per Arrow
+         batch and NO per-element Python.
+
+    Why not Catalyst HOFs for stage 2: higher-order functions are
+    interpreted per element (no WholeStageCodegen inside the lambda), and
+    64 ``array_min(transform(...))`` passes measured ~6 s for 5 k docs on
+    32 cores — ~50× the arithmetic cost.  The equivalent native-expression
+    form is kept as ``minhash_signatures_native`` and pinned equal by
+    tests/test_pipeline_ops.py, so the Arrow path is semantics-checked
+    against the pure-JVM one.  Docs with zero shingles get no signature
+    row (same contract as the exploded formulation).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    coeffs = _perm_coeffs()
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        lens = hs.map(len).to_numpy()
+        if len(lens) == 0 or (lens == 0).any():
+            # caller filters empties; degenerate batches fall back per-row
+            return hs.map(
+                lambda arr: [
+                    int(((a * np.uint64(h) + b) % np.uint64(_MERSENNE)).min())
+                    for a, b in zip(a_vec, b_vec)
+                ]
+                if len(arr)
+                else None
+            )
+        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        mins = np.empty((len(coeffs), len(lens)), dtype=np.int64)
+        m = np.uint64(_MERSENNE)
+        for i in range(len(coeffs)):
+            mins[i] = np.minimum.reduceat((a_vec[i] * flat + b_vec[i]) % m, offsets).astype(np.int64)
+        return pd.Series(list(mins.T))
+
+    return _hashed_shingles(shingle_arrays).select("doc_id", sig_udf("hs").alias("sig"))
+
+
+def minhash_signatures_native(shingle_arrays: DataFrame) -> DataFrame:
+    """Pure-JVM twin of ``minhash_signatures`` (64 array_min(transform)
+    passes as ONE parsed expression — not 64 ``F.transform`` lambdas, whose
+    py4j round-trips measured 19.4 s plan build vs 1.8 s parsed).  ~50×
+    slower per row than the Arrow path (interpreted HOF lambdas), kept as
+    the semantics oracle for the parity test."""
     sig_expr = (
         "array("
         + ",".join(
@@ -193,7 +246,7 @@ def minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
         )
         + ")"
     )
-    return hashed.select("doc_id", F.expr(sig_expr).alias("sig"))
+    return _hashed_shingles(shingle_arrays).select("doc_id", F.expr(sig_expr).alias("sig"))
 
 
 @q("dedup_minhash_lsh")
@@ -262,7 +315,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     hash aggregation, a full corpus shuffle for a per-doc computation.
     Built as one parsed expression (py4j-lambda plan-build cost, see
     minhash_signatures)."""
-    d = load(spark, sf, "documents")
+    d = load_spread(spark, sf, "documents")
     votes_expr = (
         "aggregate(transform(split(text, ' '), w -> xxhash64(w)), "
         "array_repeat(0L, 64), "
@@ -313,4 +366,145 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .join(f2, "d2")
         .where(hamming <= 6)
         .select("d1", "d2", hamming.cast("int").alias("hamming"))
+    )
+
+
+# ----------------------------------------- cluster resolution (dup pairs → CC)
+def _dup_pair_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected dup-pair edge list (a, b), a != b: exact content-hash
+    duplicates (each doc linked to its hash-group min — a star per group,
+    same components as the all-pairs clique at a fraction of the edges)
+    UNION trigram-Jaccard near-dup pairs (≥ 0.12, the oracled threshold)."""
+    exact = (
+        dedup_exact(spark, sf)
+        .where(F.col("n_docs") > 1)
+        .select("content_hash", F.col("keep_doc").alias("a"))
+        .join(
+            load(spark, sf, "documents").select(
+                F.md5("text").alias("content_hash"), F.col("doc_id").alias("b")
+            ),
+            "content_hash",
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    jac = dedup_ngram_jaccard(spark, sf).select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    )
+    return exact.unionByName(jac).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) over an undirected (a, b) edge list.
+
+    Returns (doc_id, cluster_id) for every node in any edge, cluster_id =
+    lexicographic min of the component.  Each round is two groupBy-min +
+    join passes — O(log n) rounds to convergence regardless of component
+    diameter (min-label propagation needs O(diameter) rounds, which at
+    web scale is the difference between 5 shuffles and 500).  Every round
+    ``localCheckpoint``s to truncate lineage — without it the plan doubles
+    per iteration and analysis time, not data, becomes the bottleneck.
+    """
+    # parent edges (child → smaller parent); seed = both orientations
+    e = edges.where(F.col("a") != F.col("b"))
+    par = (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u links to
+        # min(Γ(u) ∪ {u}).  Neighborhood here is over the symmetric view.
+        sym = par.unionByName(par.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.select("u", F.least("m", "u").alias("m"))
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: u's smaller-or-equal neighbors (and u) link to the
+        # min parent.  large's output is already child>parent directed.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.exceptAll(par).isEmpty() and par.exceptAll(small).isEmpty():
+            par = small
+            break
+        par = small
+    # stars: (child → root) ∪ (root → root)
+    roots = par.select("v").distinct().join(
+        par.select(F.col("u").alias("v")), "v", "left_anti"
+    )
+    return par.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")).unionByName(
+        roots.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )
+
+
+_PAIRS_SQL = f"""
+  WITH {_SHINGLES_SQL},
+  sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+    FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+  jac AS (
+    SELECT d1 AS a, d2 AS b FROM inter
+    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12),
+  grp AS (
+    SELECT md5(text) AS h, doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM documents),
+  exact AS (SELECT keep AS a, doc_id AS b FROM grp WHERE doc_id != keep),
+  pairs AS (SELECT a, b FROM exact UNION SELECT a, b FROM jac),
+  sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+  clusters AS (
+    WITH RECURSIVE reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+"""
+
+
+@q(
+    "dedup_clusters",
+    _PAIRS_SQL + "SELECT doc_id, cluster_id FROM clusters",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the union
+    of exact-dup and Jaccard near-dup pair edges; cluster_id = component
+    min doc_id.  The DuckDB oracle computes the same components by
+    recursive-CTE transitive closure (fine at sf, unthinkable at 100 TB —
+    which is exactly why the Spark side is the SoCC'14 star algorithm)."""
+    return connected_components(_dup_pair_edges(spark, sf))
+
+
+@q(
+    "dedup_keep_list",
+    _PAIRS_SQL
+    + """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor set after cluster resolution: every document except
+    non-canonical cluster members (left_anti join — no NOT IN anti-pattern
+    with its null-semantics trap; doc_id is non-null by schema)."""
+    drop = dedup_clusters(spark, sf).where(F.col("doc_id") != F.col("cluster_id"))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id")
+        .join(drop.select("doc_id"), "doc_id", "left_anti")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from analytics.common import load
+from analytics.common import load_spread
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -70,7 +70,7 @@ def with_norm(e: DataFrame, vid: str, emb: str, norm: str) -> DataFrame:
 def emb_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs: exact pairwise cosine above threshold
     (0.35 ~ top 0.1% of this corpus's pair distribution)."""
-    e = load(spark, sf, "embeddings")
+    e = load_spread(spark, sf, "embeddings")
     a = with_norm(e, "v1", "e1", "n1")
     b = with_norm(e, "v2", "e2", "n2")
     c = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
@@ -100,7 +100,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     baseline every ANN variant is judged against."""
     from pyspark.sql import Window
 
-    e = load(spark, sf, "embeddings")
+    e = load_spread(spark, sf, "embeddings")
     qs = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -156,7 +156,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     probes a constant bucket set while candidate volume stays O(n/2^P) —
     that is the 100 TB path.  Rows-only for the driver; recall vs brute
     force asserted in tests/test_pipeline_ops.py."""
-    e = load(spark, sf, "embeddings").withColumn("bucket", lsh_bucket(F.col("embedding")))
+    e = load_spread(spark, sf, "embeddings").withColumn("bucket", lsh_bucket(F.col("embedding")))
     # multi-probe: query side also probes every bucket within Hamming
     # distance 2 of its own (1 + P + P*(P-1)/2 probes).
     flips = [0] + [1 << i for i in range(N_PLANES)] + [
@@ -218,7 +218,7 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     vs ``ann_topk_bruteforce`` asserted in tests/test_pipeline_ops.py."""
     from pyspark.sql import Window
 
-    e = load(spark, sf, "embeddings")
+    e = load_spread(spark, sf, "embeddings")
     cents = (
         e.orderBy("vec_id")
         .limit(N_LISTS)
@@ -302,7 +302,7 @@ def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    e = load_spread(spark, sf, "embeddings").select("vec_id", "embedding")
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_BLOCKS))
     # row in block k joins group (gi, gj) as: left when k == gi, right when
     # k == gj (diagonal groups hold each row once, flagged both sides)

@@ -112,3 +112,70 @@ def test_blocked_gemm_pairs_equal_exact(spark):
     assert set(exact) == set(blocked)
     for p in exact:
         assert abs(exact[p] - blocked[p]) <= 1e-4, (p, exact[p], blocked[p])
+
+
+def test_minhash_arrow_matches_native_exprs(spark):
+    """The Arrow-vectorized signature path (numpy segmented min) must equal
+    the pure-JVM expression twin bit-for-bit — same permutations, same
+    modulus, same per-doc minima."""
+    arrs = dedup._shingle_arrays(spark, SF_TEST)
+    nat = dedup.minhash_signatures_native(arrs)
+    arw = dedup.minhash_signatures(arrs)
+    assert nat.exceptAll(arw).isEmpty() and arw.exceptAll(nat).isEmpty()
+
+
+def _uf_components(edges):
+    """Pure-python union-find oracle: {node: component min}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Star-algorithm CC equals union-find on an adversarial graph: a
+    300-node path (diameter >> round budget — only the O(log n) star
+    contraction converges in 25 rounds), plus cliques, plus singleton
+    pairs, with shuffled string ids."""
+    import random
+
+    rng = random.Random(7)
+    ids = [f"doc{int(i):05d}" for i in rng.sample(range(100000), 330)]
+    edges = [(ids[i], ids[i + 1]) for i in range(299)]  # long path
+    edges += [(ids[300 + i], ids[300 + j]) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(ids[310], ids[311]), (ids[312], ids[313])]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(df).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every dup pair lands in one cluster; keep-list = docs minus
+    non-canonical members; cluster_id is the component min."""
+    pairs = dedup._dup_pair_edges(spark, SF_TEST).collect()
+    comp = _uf_components([(r["a"], r["b"]) for r in pairs])
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(spark, SF_TEST).collect()
+    }
+    assert got == set(comp.items())
+    n_docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    keep = dedup.dedup_keep_list(spark, SF_TEST).count()
+    dropped = sum(1 for n, c in comp.items() if n != c)
+    assert keep == n_docs - dropped

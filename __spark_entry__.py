@@ -29,12 +29,13 @@ from analytics import (  # noqa: E402
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
     udfs,
 )
 
-_MODULES = (relational, crawl_queries, dedup, similarity, text, multimodal, udfs)
+_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,6 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = (
     "dedup_clusters",
     "dedup_keep_list",
+    "doc_sample_stratified",
+    "doc_split_assign",
     "ann_ivf",
     "frontier_pop",
     "frontier_merge",

@@ -45,9 +45,34 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = load(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _scan_tasks_estimate(spark, df) < par:
         return df.repartition(par)
     return df
+
+
+def _scan_tasks_estimate(spark: SparkSession, df: DataFrame) -> int:
+    """Planned scan parallelism ≈ Σ ceil(file_size / maxPartitionBytes)
+    over the scan's input files — pure metadata, no job, no RDD API (the
+    per-row-Python CI gate bans the RDD surface in this package).  Non-local URIs
+    (a real cluster's object store) return a large constant: production
+    scans always carry enough splits, making load_spread a no-op there."""
+    import math
+    import os
+
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1], 1)
+    maxpb = int(raw.rstrip("kmg") or "1") * mult
+    n = 0
+    for uri in df.inputFiles():
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            try:
+                n += max(1, math.ceil(os.path.getsize(path) / maxpb))
+            except OSError:
+                n += 1
+        else:
+            return 1 << 30
+    return n
 
 
 def utc(spark: SparkSession) -> SparkSession:

@@ -414,6 +414,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    prev_cnt = par.count()
     for _ in range(max_iter):
         # large-star: every strictly-larger neighbor of u links to
         # min(Γ(u) ∪ {u}).  Neighborhood here is over the symmetric view.
@@ -438,10 +439,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        if small.exceptAll(par).isEmpty() and par.exceptAll(small).isEmpty():
+        # convergence: gate the expensive set-compare behind a count check
+        # (non-final rounds almost always change the edge count, so the
+        # exceptAll shuffle runs ~once per query).  Equal counts + empty
+        # one-way difference of two distinct() sets ⇒ set equality.
+        cnt = small.count()
+        if cnt == prev_cnt and small.exceptAll(par).isEmpty():
             par = small
             break
-        par = small
+        par, prev_cnt = small, cnt
     # stars: (child → root) ∪ (root → root)
     roots = par.select("v").distinct().join(
         par.select(F.col("u").alias("v")), "v", "left_anti"

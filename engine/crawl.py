@@ -143,6 +143,16 @@ class CrawlEngine:
     # ----------------------------------------------------------------- epoch
     def run_epoch(self, epoch: int) -> dict:
         t0 = time.time()
+        _ph, _tp = {}, [time.time()]
+
+        def _mark(name: str) -> None:
+            # phase wall-clock profile, printed when SPARK_GRAFT_EPOCH_TIMING
+            # is set — the scaling harness uses it to attribute the
+            # non-scaling fraction of an epoch to a concrete stage
+            now = time.time()
+            _ph[name] = round(now - _tp[0], 2)
+            _tp[0] = now
+
         spark, cat, cfg = self.spark, self.catalog, self.cfg
         budgets = cat.read_snapshot("politeness_budgets")
         prev_meta = cat.manifest(cat.last_epoch()).get("meta", {})
@@ -199,6 +209,7 @@ class CrawlEngine:
         else:
             gated = pending.withColumn("allowed", F.lit(True))
         gated = gated.persist()
+        _mark("scan_robots")
         disallowed = gated.where(~F.col("allowed"))
         eligible = gated.where(F.col("allowed"))
 
@@ -261,6 +272,7 @@ class CrawlEngine:
             ).alias("links"),
             F.collect_set(bucket_of_host).alias("bks"),
         ).collect()[0]
+        _mark("pop_fetch_stats")
         n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
         n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
         popped_buckets = set(stats["bks"])
@@ -299,6 +311,7 @@ class CrawlEngine:
             F.count(F.when(F.col("is_new"), 1)).alias("n"),
             F.collect_set(F.when(F.col("is_new"), F.col("host_bucket"))).alias("bks"),
         ).collect()[0]
+        _mark("cand_probe_stats")
         n_cands = int(ins_stats["n_cands"])
         n_new, insert_buckets = int(ins_stats["n"]), set(ins_stats["bks"])
         inserts = flagged.where("is_new").select(
@@ -317,6 +330,7 @@ class CrawlEngine:
             F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
         ).collect()[0]
         n_disallowed, dis_buckets = int(dis_stats["n"]), set(dis_stats["bks"])
+        _mark("dis_stats")
 
         # --- F7 merge (cell-granular, O(delta)) ---
         # Only (status, host_bucket) cells holding popped/disallowed/insert
@@ -430,6 +444,7 @@ class CrawlEngine:
             for f in fut_rest:
                 if f is not None:
                     f.result()
+        _mark("writes")
 
         # --- metrics (definitions shared with pyref.oracle) ---
         # pending_end and frontier_rows follow arithmetically from the
@@ -482,6 +497,16 @@ class CrawlEngine:
 
         for df in (gated, popped, fetched, flagged):
             df.unpersist()
+        _mark("commit")
+        if os.environ.get("SPARK_GRAFT_EPOCH_TIMING"):
+            import json as _json
+            import sys as _sys
+
+            print(
+                _json.dumps({"epoch": epoch, "phases_s": _ph}),
+                file=_sys.stderr,
+                flush=True,
+            )
         return metrics
 
     # ------------------------------------------------------------------- run

@@ -179,3 +179,53 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     keep = dedup.dedup_keep_list(spark, SF_TEST).count()
     dropped = sum(1 for n, c in comp.items() if n != c)
     assert keep == n_docs - dropped
+
+
+def test_sampling_deterministic_and_stratified(spark):
+    """Hash-threshold sampling: rerun-identical (no RNG), rates within
+    binomial bounds per stratum, and independent of partitioning."""
+    from analytics import sampling
+
+    s1 = {r["doc_id"] for r in sampling.doc_sample_stratified(spark, SF_TEST).collect()}
+    s2 = {r["doc_id"] for r in sampling.doc_sample_stratified(spark, SF_TEST).collect()}
+    assert s1 == s2 and s1
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    import math
+
+    rates = {"en": 0.25, "de": 0.75, "fr": 0.75}
+    for lang, n in [(r[0], r[1]) for r in docs.groupBy("lang").count().collect()]:
+        p = rates.get(lang, 0.5)
+        kept = (
+            docs.where(F.col("lang") == lang)
+            .join(
+                spark.createDataFrame([(d,) for d in s1], "doc_id long"),
+                "doc_id",
+                "semi",
+            )
+            .count()
+        )
+        # 4-sigma binomial bound
+        assert abs(kept - p * n) <= 4 * math.sqrt(n * p * (1 - p)) + 1, (lang, kept, n)
+
+
+def test_split_assign_partitions_corpus(spark):
+    """Every doc gets exactly one split; ratios near 12/2/2 of 16; and the
+    assignment is stable when the corpus grows (subset invariance)."""
+    from analytics import sampling
+
+    full = sampling.doc_split_assign(spark, SF_TEST)
+    docs_n = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    rows = full.collect()
+    assert len(rows) == docs_n
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == docs_n
+    assert len(by["train"]) > len(by["val"]) and len(by["train"]) > len(by["test"])
+    # subset invariance: restricting the input cannot move a doc's split
+    half = sampling.doc_split_assign(
+        spark, SF_TEST
+    ).where(F.col("doc_id") % 2 == 0)
+    for r in half.collect():
+        assert r["doc_id"] in by[r["split"]]

@@ -83,3 +83,42 @@ def test_frontier_scan_partition_prunes(spark, tmp_path):
     assert "PartitionFilters" in p
     assert "status" in p.split("PartitionFilters")[1][:200]
     assert scan.count() == 334
+
+
+def test_load_spread_parallelizes_single_file_scan(spark):
+    """Heavy per-doc compute (minhash/simhash/ANN scoring) must not run on
+    the scan's single input partition: load_spread round-robins a
+    below-maxPartitionBytes file out to core count, and is a no-op when
+    the scan already has enough partitions."""
+    from analytics.common import load, load_spread
+
+    par = spark.sparkContext.defaultParallelism
+    raw = load(spark, SF_TEST, "documents")
+    spread = load_spread(spark, SF_TEST, "documents")
+    if raw.rdd.getNumPartitions() >= par:
+        assert spread is raw or spread.rdd.getNumPartitions() >= par
+    else:
+        assert spread.rdd.getNumPartitions() == par
+    from analytics import dedup
+
+    sigs = dedup.minhash_signatures(dedup._shingle_arrays(spark, SF_TEST))
+    assert sigs.rdd.getNumPartitions() >= min(par, 2)
+
+
+def test_minhash_signature_stage_has_no_shuffle(spark):
+    """Signature computation is per-doc local: the plan between the scan
+    and the Arrow eval must contain no Exchange (the repartition Exchange
+    from load_spread is the single allowed one).  clearCache first: an
+    earlier test's persist() would otherwise swap an InMemoryRelation into
+    this plan, whose explain string re-prints the cached fragment's
+    Exchange nodes and AQE duplicates."""
+    from analytics import dedup
+
+    spark.catalog.clearCache()
+    p = plan(dedup.minhash_signatures(dedup._shingle_arrays(spark, SF_TEST)))
+    # formatted explain prints each node twice (tree line + detail header);
+    # count detail headers "(n) Exchange" = actual Exchange nodes
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "ArrowEvalPython" in p

@@ -286,11 +286,44 @@ class CrawlEngine:
         )
         cands = extract_candidates(fetched, cfg, self.n_buckets)
 
+        # --- early appends + disallowed stats, overlapped with D1/D2 ---
+        # documents/crawl_log derive ONLY from the popped/fetched caches the
+        # stats job above just materialized, and the disallowed count only
+        # from the gated cache — all independent of the candidate
+        # probe/flag below.  Submitting them here overlaps their jobs with
+        # the cand_probe action, hiding their wall time entirely on
+        # multi-core runs (the driver thread blocks on ins_stats anyway).
+        appends: dict = {}
+
+        def write_append(name: str, df: DataFrame, rows: int | None) -> None:
+            path = cat.stage_path(epoch, name)
+            self._write(df, path)
+            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
+
+        pool = ThreadPoolExecutor(max_workers=6)
+        fut_early = [
+            pool.submit(write_append, "documents", docs, n_ok),
+            pool.submit(write_append, "crawl_log", crawl_log, n_popped),
+        ]
+        fut_dis = pool.submit(
+            lambda: disallowed.agg(
+                F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
+            ).collect()[0]
+        )
+
         # --- D1/D2 ---
         frontier_keys = frontier.select("url_hash")
         if self.use_seen_filter:
             seen = cat.read_snapshot("seen_filter")
-            probed = seenmod.probe_filter(cands, seen, self.n_filter_parts)
+            # slim strategy: Arrow-crosses 16 bytes/candidate (hash only)
+            # instead of the full URL-carrying row, and its url_hash
+            # join-back exchange is the same one flag_new needs.  The
+            # 'broadcast' JVM strategy is measurably WORSE at the default
+            # blob size (engine/seen.py probe_filter docstring) — kept for
+            # small-blob configs only.
+            probed = seenmod.probe_filter(
+                cands, seen, self.n_filter_parts, strategy="slim"
+            )
             flagged = seenmod.flag_new(probed, frontier_keys).persist()
         else:
             # dropDuplicates for the same duplicate-immunity as
@@ -326,9 +359,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             "parent_hash",
         )
-        dis_stats = disallowed.agg(  # cached via gated
-            F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
-        ).collect()[0]
+        dis_stats = fut_dis.result()  # cached via gated; job ran concurrently
         n_disallowed, dis_buckets = int(dis_stats["n"]), set(dis_stats["bks"])
         _mark("dis_stats")
 
@@ -409,8 +440,7 @@ class CrawlEngine:
             self._write(new_blobs, sf_path)
             snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
 
-        # --- appends: documents, crawl_log, lineage, metrics ---
-        appends = {}
+        # --- remaining appends: lineage (+ the early documents/crawl_log) ---
         in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
         lineage = (
             partition_lineage(popped, epoch, "pop", in_snap, out_snap)
@@ -418,32 +448,28 @@ class CrawlEngine:
             .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
         )
 
-        def write_append(name: str, df: DataFrame, rows: int | None) -> None:
-            path = cat.stage_path(epoch, name)
-            self._write(df, path)
-            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
-
         # All six epoch outputs derive only from materialized caches (popped/
         # fetched/flagged/gated) or committed parquet, so their write JOBS are
-        # independent — submit them from a thread pool and let the scheduler
-        # interleave tasks.  This overlaps per-job driver latency (scheduling,
-        # file listing, commit protocol) that otherwise serializes ~6 jobs per
-        # epoch — the constant cost that caps N->4N scaling efficiency on
-        # fast epochs.  Atomicity is untouched: nothing is visible until the
-        # manifest rename below, and a failure in ANY write aborts the epoch
-        # before commit (futures re-raise here).
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        # independent — documents/crawl_log were submitted before the D1/D2
+        # action, the rest go on the same pool here.  This overlaps per-job
+        # driver latency (scheduling, file listing, commit protocol) that
+        # otherwise serializes ~6 jobs per epoch — the constant cost that
+        # caps N->4N scaling efficiency on fast epochs.  Atomicity is
+        # untouched: nothing is visible until the manifest rename below, and
+        # a failure in ANY write aborts the epoch before commit (futures
+        # re-raise here).
+        try:
             fut_frontier = pool.submit(write_frontier)
-            fut_rest = [
+            fut_rest = fut_early + [
                 pool.submit(write_seen) if self.use_seen_filter else None,
-                pool.submit(write_append, "documents", docs, n_ok),
-                pool.submit(write_append, "crawl_log", crawl_log, n_popped),
                 pool.submit(write_append, "lineage", lineage.coalesce(1), None),
             ]
             new_parts = fut_frontier.result()
             for f in fut_rest:
                 if f is not None:
                     f.result()
+        finally:
+            pool.shutdown(wait=True)
         _mark("writes")
 
         # --- metrics (definitions shared with pyref.oracle) ---

@@ -11,7 +11,7 @@ with the pyref oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from engine.canonicalize import (
@@ -48,6 +48,21 @@ def extract_candidates(fetched: DataFrame, cfg: GraphConfig, n_buckets: int) -> 
         .drop("raw_url", "base_url")
     )
     keyed = with_url_keys(links, n_buckets)
-    # same-epoch dedup: keep min (depth, parent_hash) per url_hash (normative)
-    w = Window.partitionBy("url_hash").orderBy(F.col("depth").asc(), F.col("parent_hash").asc())
-    return keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    # same-epoch dedup: keep min (depth, parent_hash) per url_hash (normative).
+    # min_by instead of a row_number window: a hash aggregate gets map-side
+    # partial aggregation, so same-epoch duplicate discoveries (the common
+    # case — popular pages are re-linked by many parents) collapse BEFORE
+    # the url_hash shuffle instead of after it, and the sort the window
+    # needed disappears.  Ties on (depth, parent_hash) are rows identical
+    # in every carried column (same parent, same canonical url), so the
+    # pick is deterministic either way.
+    other = [c for c in keyed.columns if c != "url_hash"]
+    return (
+        keyed.groupBy("url_hash")
+        .agg(
+            F.min_by(
+                F.struct(*other), F.struct(F.col("depth"), F.col("parent_hash"))
+            ).alias("_best")
+        )
+        .select("url_hash", "_best.*")
+    )

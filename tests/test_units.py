@@ -189,3 +189,36 @@ def test_canonical_fast_path_is_sound():
             n_fast += 1
             assert canonicalize_url(u) == u, f"fast path not a fixed point: {u}"
     assert n_fast > len(urls) // 2  # the fast path actually covers the bulk
+
+
+def test_probe_strategies_agree(spark):
+    """broadcast (JVM bit math), slim (hash-only Arrow), and cogroup
+    (reference) probes return the identical maybe_seen verdict for every
+    candidate — including hashes with the sign bit set (the uint64-view
+    parity the broadcast shift/mask arithmetic must reproduce exactly)."""
+    from engine import seen as seenmod
+
+    rng = np.random.default_rng(7)
+    n_parts, nbits, nhash = 8, 1 << 16, 5
+    seeds = rng.integers(-(2**63), 2**63 - 1, size=4000, dtype=np.int64)
+    seed_df = spark.createDataFrame([(int(h),) for h in seeds], "url_hash long")
+    blobs = seenmod.init_filter(spark, seed_df, n_parts, nbits, nhash).persist()
+
+    probe_hashes = np.concatenate(
+        [seeds[:1000], rng.integers(-(2**63), 2**63 - 1, size=3000, dtype=np.int64)]
+    )
+    cands = spark.createDataFrame(
+        [(int(h), f"u{i}") for i, h in enumerate(probe_hashes)], "url_hash long, url string"
+    )
+
+    outs = {}
+    for strat in ("broadcast", "slim", "cogroup"):
+        rows = seenmod.probe_filter(cands, blobs, n_parts, strategy=strat).collect()
+        outs[strat] = {r["url_hash"]: r["maybe_seen"] for r in rows}
+        assert len(rows) == len(probe_hashes), strat
+    assert outs["broadcast"] == outs["cogroup"]
+    assert outs["slim"] == outs["cogroup"]
+    # every seeded hash must be maybe_seen (bloom: no false negatives)
+    for h in seeds[:1000]:
+        assert outs["broadcast"][int(h)] is True
+    blobs.unpersist()

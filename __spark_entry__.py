@@ -52,6 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01 — i.e. predates the round-2 cell-granular F7 merge and the
 # zero-shuffle shingle rewrite (VERDICT.md r02 "What's missing" #1).
 _FRONT = (
+    # emb_cosine_pairs_blocked gained its DuckDB oracle this round (same SQL
+    # as the exact query — the blocked plan is exact by construction), so its
+    # first hash-checked driver row must land in r03 (VERDICT r02 task 5).
+    "emb_cosine_pairs_blocked",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",

@@ -28,7 +28,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from engine import seen as seenmod
 from engine.canonicalize import path_expr
@@ -38,7 +37,12 @@ from engine.frontier import pop_frontier, retry_transition
 from engine.lineage import partition_lineage, write_metrics_parquet
 from engine.parse import extract_candidates
 from engine.robots import fetch_robots, robots_gate
-from engine.schemas import FRONTIER, POLITENESS_BUDGETS, ROBOTS_RULES
+from engine.schemas import (
+    FETCHED_STAGED,
+    FRONTIER,
+    POLITENESS_BUDGETS,
+    ROBOTS_RULES,
+)
 from engine.seed import seeds_to_frontier
 from engine.synthgraph import GraphConfig, gen_budgets
 
@@ -253,47 +257,67 @@ class CrawlEngine:
         )
 
         # --- F6/X1/X2 ---
-        # DISK_ONLY for the spans-heavy cache: serialized cache blocks land
-        # in spark.local.dir (tmpfs on the bench box) instead of the heap —
-        # at 32 concurrent tasks the deserialized spans cache drove G1 to
-        # 40s+ of pauses per epoch (tools/diag_host_scaling.py evidence)
-        fetched = fetch_parse(popped, cfg).persist(StorageLevel.DISK_ONLY)
-        retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
-        # one job: fetch metrics + the popped rows' host_bucket set (feeds
-        # the F7 touched-cell computation without a second pass; bucket is
-        # re-derived from host — the same pmod(xxhash64) as with_url_keys)
+        # Materialize the fetch output ONCE as a staged parquet table
+        # instead of a DISK_ONLY cache.  Rationale (the 100 TB shape): a
+        # cached row is monolithic — every downstream consumer (stats agg,
+        # candidate extraction, retry transition, lineage) deserializes the
+        # spans payload it never uses — whereas a parquet scan prunes to
+        # the columns each consumer reads.  The fat spans column is written
+        # exactly once (Python → Arrow → parquet) and never read again this
+        # epoch: the committed ``documents`` append IS the ok=1 cells of
+        # this directory (zero-copy publish; extra engine columns on the
+        # documents table are allowed, SURVEY.md §1.2).  ``okp`` is an int
+        # partition column (hive partition inference has no boolean type),
+        # so the failed-row consumers prune to the tiny okp=0 cells.
         bucket_of_host = F.pmod(F.xxhash64("host"), F.lit(self.n_buckets)).cast("int")
+        fetched_dir = cat.stage_path(epoch, "fetched")
+        self._write(
+            fetch_parse(popped, cfg)
+            .withColumn("okp", F.col("ok").cast("int"))
+            .withColumn("doc_id", F.col("url"))
+            .withColumn("epoch", F.lit(epoch).cast("int"))
+            .withColumn(
+                "n_outlinks", F.coalesce(F.size("outlinks"), F.lit(0)).cast("int")
+            )
+            .withColumn("host_bucket", bucket_of_host),
+            fetched_dir,
+            partition_cols=["okp"],
+        )
+        fetched = spark.read.schema(FETCHED_STAGED).parquet(fetched_dir)
+        retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
+        # one job over slim int columns: fetch metrics + the popped rows'
+        # host_bucket set (feeds the F7 touched-cell computation)
         stats = fetched.agg(
             F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
             F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
             F.count(F.when(retryable, 1)).alias("n_retry_pending"),
             F.coalesce(
-                F.sum(F.when(F.col("ok"), F.size("outlinks"))), F.lit(0)
+                F.sum(F.when(F.col("ok"), F.col("n_outlinks"))), F.lit(0)
             ).alias("links"),
-            F.collect_set(bucket_of_host).alias("bks"),
+            F.collect_set("host_bucket").alias("bks"),
         ).collect()[0]
         _mark("pop_fetch_stats")
         n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
         n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
         popped_buckets = set(stats["bks"])
         n_popped = n_ok + n_fail
-        docs = fetched.where("ok").select(
-            F.col("url").alias("doc_id"),
-            "spans",
-            "url",
-            "host",
-            F.lit(epoch).cast("int").alias("epoch"),
+        cands = extract_candidates(
+            fetched.where(F.col("okp") == 1), cfg, self.n_buckets
         )
-        cands = extract_candidates(fetched, cfg, self.n_buckets)
 
         # --- early appends + disallowed stats, overlapped with D1/D2 ---
-        # documents/crawl_log derive ONLY from the popped/fetched caches the
-        # stats job above just materialized, and the disallowed count only
-        # from the gated cache — all independent of the candidate
-        # probe/flag below.  Submitting them here overlaps their jobs with
-        # the cand_probe action, hiding their wall time entirely on
-        # multi-core runs (the driver thread blocks on ins_stats anyway).
-        appends: dict = {}
+        # documents needs NO job at all: the append entry points at the
+        # okp=1 cells of the already-written fetched staging dir (doc_id /
+        # spans / url / host / epoch are in the files; the extra engine
+        # columns ride along, nullable-allowed per SURVEY.md §1.2).
+        # crawl_log derives only from the popped cache the fetch write just
+        # materialized, and the disallowed count only from the gated cache
+        # — both independent of the candidate probe/flag below, so their
+        # jobs overlap the cand_probe action (the driver thread blocks on
+        # ins_stats anyway).
+        appends: dict = {
+            "documents": {"path": os.path.join(fetched_dir, "okp=1"), "rows": n_ok}
+        }
 
         def write_append(name: str, df: DataFrame, rows: int | None) -> None:
             path = cat.stage_path(epoch, name)
@@ -302,7 +326,6 @@ class CrawlEngine:
 
         pool = ThreadPoolExecutor(max_workers=6)
         fut_early = [
-            pool.submit(write_append, "documents", docs, n_ok),
             pool.submit(write_append, "crawl_log", crawl_log, n_popped),
         ]
         fut_dis = pool.submit(
@@ -322,7 +345,7 @@ class CrawlEngine:
             # blob size (engine/seen.py probe_filter docstring) — kept for
             # small-blob configs only.
             probed = seenmod.probe_filter(
-                cands, seen, self.n_filter_parts, strategy="slim"
+                cands, seen, self.n_filter_parts, strategy="slim", key_unique=True
             )
             flagged = seenmod.flag_new(probed, frontier_keys).persist()
         else:
@@ -448,10 +471,11 @@ class CrawlEngine:
             .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
         )
 
-        # All six epoch outputs derive only from materialized caches (popped/
-        # fetched/flagged/gated) or committed parquet, so their write JOBS are
-        # independent — documents/crawl_log were submitted before the D1/D2
-        # action, the rest go on the same pool here.  This overlaps per-job
+        # Every epoch output derives only from materialized state (the
+        # popped/gated/flagged caches or the staged fetched parquet), so the
+        # write JOBS are independent — crawl_log was submitted before the
+        # D1/D2 action (documents needs no job at all), the rest go on the
+        # same pool here.  This overlaps per-job
         # driver latency (scheduling, file listing, commit protocol) that
         # otherwise serializes ~6 jobs per epoch — the constant cost that
         # caps N->4N scaling efficiency on fast epochs.  Atomicity is
@@ -521,7 +545,7 @@ class CrawlEngine:
             },
         )
 
-        for df in (gated, popped, fetched, flagged):
+        for df in (gated, popped, flagged):
             df.unpersist()
         _mark("commit")
         if os.environ.get("SPARK_GRAFT_EPOCH_TIMING"):

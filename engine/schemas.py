@@ -126,3 +126,20 @@ FETCHED = StructType(
         StructField("fetch_at_s", DoubleType()),
     ]
 )
+
+# FETCHED plus the engine columns stamped at the staged-parquet write
+# (engine/crawl.py run_epoch): the epoch's fetch output is materialized once
+# as a parquet table partitioned by ``okp`` (int form of ``ok`` — hive
+# partition inference has no boolean), and the committed ``documents``
+# append points at its okp=1 cells.  Explicit read schema so an epoch with
+# zero popped rows (no partition dirs) still reads as an empty frame.
+FETCHED_STAGED = StructType(
+    FETCHED.fields
+    + [
+        StructField("doc_id", StringType()),
+        StructField("epoch", IntegerType()),
+        StructField("n_outlinks", IntegerType()),
+        StructField("host_bucket", IntegerType()),
+        StructField("okp", IntegerType()),
+    ]
+)

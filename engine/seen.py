@@ -157,7 +157,11 @@ def init_filter(
 
 
 def probe_filter(
-    candidates: DataFrame, blobs: DataFrame, n_parts: int, strategy: str = "slim"
+    candidates: DataFrame,
+    blobs: DataFrame,
+    n_parts: int,
+    strategy: str = "slim",
+    key_unique: bool = False,
 ) -> DataFrame:
     """D1: adds ``maybe_seen`` to candidates.  Three physical strategies,
     same result rows:
@@ -188,10 +192,13 @@ def probe_filter(
     if strategy == "broadcast":
         return _probe_broadcast(candidates, blobs, n_parts)
     if strategy == "slim":
-        slim = (
-            with_part_id(candidates.select("url_hash"), n_parts)
-            .dropDuplicates(["url_hash"])
-        )
+        # key_unique: the caller guarantees one row per url_hash (the
+        # engine's candidates come out of extract_candidates' groupBy), so
+        # the dedup pass — needed only so the left join-back cannot
+        # multiply rows — is skipped entirely.
+        slim = with_part_id(candidates.select("url_hash"), n_parts)
+        if not key_unique:
+            slim = slim.dropDuplicates(["url_hash"])
         verdict = _probe_cogroup(slim, blobs).drop("part_id")
         return with_part_id(candidates, n_parts).join(verdict, "url_hash", "left").fillna(
             {"maybe_seen": False}

@@ -38,6 +38,17 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def _stat_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    Steal is hypervisor-withheld time — the one contention source taskset
+    pinning cannot exclude on this co-tenant box.  Sampled around each
+    epoch so every throughput sample carries its own contention evidence
+    (a >5% steal epoch is a contended sample, not an engine regression)."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def run_at(cores: int, n_hosts: int, pages: int, epochs: int) -> dict:
     from engine.crawl import CrawlEngine
     from engine.session import build_session
@@ -68,17 +79,21 @@ def run_at(cores: int, n_hosts: int, pages: int, epochs: int) -> dict:
         t0 = time.time()
         eng.init_run(seeds)
         init_s = time.time() - t0
-        walls, popped = [], []
+        walls, popped, steals = [], [], []
         for ep in range(1, epochs + 1):
+            s0, tt0 = _stat_ticks()
             t0 = time.time()
             m = eng.run_epoch(ep)
             walls.append(time.time() - t0)
             popped.append(m["urls_popped"])
+            s1, tt1 = _stat_ticks()
+            steals.append(100.0 * (s1 - s0) / max(tt1 - tt0, 1))
         total_popped, total_wall = sum(popped), sum(walls)
         return {
             "cores": cores,
             "init_s": round(init_s, 1),
             "epoch_walls_s": [round(w, 1) for w in walls],
+            "epoch_steal_pct": [round(s, 1) for s in steals],
             "urls_popped": popped,
             "urls_per_sec": round(total_popped / total_wall, 1),
         }
@@ -161,6 +176,9 @@ def best_of(runs: list[dict]) -> dict:
         "repeats": len(runs),
         "warmup_epoch_walls_s": [r["epoch_walls_s"][0] for r in runs],
         "measured_epoch_walls_s": [r["epoch_walls_s"][1:] for r in runs],
+        "measured_epoch_steal_pct": [
+            r.get("epoch_steal_pct", [])[1:] for r in runs
+        ],
         "per_epoch": per_epoch,
         "urls_per_sec_best": pooled[-1],
         "urls_per_sec_median": pooled[len(pooled) // 2],

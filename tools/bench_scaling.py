@@ -43,8 +43,11 @@ def _stat_ticks() -> tuple[int, int]:
 
     Steal is hypervisor-withheld time — the one contention source taskset
     pinning cannot exclude on this co-tenant box.  Sampled around each
-    epoch so every throughput sample carries its own contention evidence
-    (a >5% steal epoch is a contended sample, not an engine regression)."""
+    epoch so every throughput sample carries its own contention evidence.
+    Reported normalized to the LEG's pinned core count (steal ticks over
+    cores x wall): /proc/stat aggregates all 32 CPUs, but only the pinned
+    cores run anything, so 3% of the box = ~1 stolen core = 50% of a
+    2-core leg's capacity."""
     vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
     return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
@@ -87,7 +90,10 @@ def run_at(cores: int, n_hosts: int, pages: int, epochs: int) -> dict:
             walls.append(time.time() - t0)
             popped.append(m["urls_popped"])
             s1, tt1 = _stat_ticks()
-            steals.append(100.0 * (s1 - s0) / max(tt1 - tt0, 1))
+            ncpu = os.cpu_count() or 32
+            steals.append(
+                100.0 * (s1 - s0) / max((tt1 - tt0) * cores / ncpu, 1)
+            )
         total_popped, total_wall = sum(popped), sum(walls)
         return {
             "cores": cores,

@@ -105,12 +105,17 @@ class SnapshotCatalog:
                 shutil.rmtree(os.path.join(staging, name), ignore_errors=True)
 
     # ---- reads (always of committed state only) ----
-    def read_snapshot(self, table: str, epoch: int | None = None) -> DataFrame:
+    def read_snapshot(self, table: str, epoch: int | None = None, schema=None) -> DataFrame:
         ep = self.last_epoch() if epoch is None else epoch
         entry = self.manifest(ep)["snapshots"][table]
         if "parts" in entry:
-            return self.read_parts(entry["parts"])
-        return self.spark.read.parquet(entry["path"])
+            return self.read_parts(entry["parts"], schema=schema)
+        # "paths": append-list snapshot (robots delta dirs); "path": single dir
+        paths = entry.get("paths") or [entry["path"]]
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     # ---- cell-granular snapshots (frontier) ----
     # The frontier snapshot is a dict of (status, host_bucket) CELLS, each a
@@ -136,9 +141,12 @@ class SnapshotCatalog:
         parts: dict,
         status: str | None = None,
         buckets: set[int] | None = None,
+        schema=None,
     ) -> DataFrame | None:
         """Union of the selected cells' leaf dirs; None when no cell matches
-        (caller supplies the empty frame — the catalog is schema-agnostic)."""
+        (caller supplies the empty frame — the catalog is schema-agnostic).
+        An explicit ``schema`` skips footer-based inference — one less
+        driver-side file touch per read on the per-epoch hot path."""
         paths = []
         for cell, dirs in parts.items():
             st, _, bk = cell.partition("/")
@@ -149,7 +157,10 @@ class SnapshotCatalog:
             paths.extend(dirs)
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     def read_appended(self, table: str, up_to_epoch: int | None = None) -> DataFrame | None:
         last = self.last_epoch() if up_to_epoch is None else up_to_epoch

@@ -83,11 +83,15 @@ class CrawlEngine:
         self.filter_kind = filter_kind
         self.max_cell_dirs = max_cell_dirs
         self.catalog = SnapshotCatalog(spark, root)
+        self._budgets: DataFrame | None = None  # cross-epoch cache (immutable dim)
 
     # ------------------------------------------------------------------ init
     def init_run(self, seeds: list[str] | None = None, seed_path: str | None = None) -> None:
-        """Epoch-0 commit: frontier from seeds, budgets, empty robots, filter."""
+        """Epoch-0 commit: frontier from seeds, budgets, seed-host robots, filter."""
         cat = self.catalog
+        if self._budgets is not None:
+            self._budgets.unpersist()
+            self._budgets = None
         frontier = seeds_to_frontier(self.spark, seeds, self.n_buckets, seed_path)
         fr_path = cat.stage_path(0, "frontier")
         cells = self._write_bucket_cells(frontier, os.path.join(fr_path, "pending"))
@@ -106,15 +110,30 @@ class CrawlEngine:
         bud_path = cat.stage_path(0, "politeness_budgets")
         self._write(budgets, bud_path)
 
-        robots = self.spark.createDataFrame([], ROBOTS_RULES)
+        # R1 prefetch: rules for the SEED hosts are acquired at init, and
+        # every later epoch acquires rules for its INSERT hosts as part of
+        # that epoch's overlapped writes — so no epoch ever starts with a
+        # synchronous missing-rules job on its critical path.  Invariant
+        # (meta "robots_complete"): the committed robots table covers every
+        # host that has ever held a frontier row, which is a superset of
+        # the hosts any pending scan can produce — the R2 gate never sees
+        # a rule-less host.
         rob_path = cat.stage_path(0, "robots_rules")
-        self._write(robots, rob_path)
+        if self.use_robots:
+            seed_hosts = frontier.select("host").distinct()
+            rules = fetch_robots(seed_hosts, self.cfg, 0).persist()
+            n_rules = rules.count()
+            self._write(rules, rob_path)
+            rules.unpersist()
+        else:
+            n_rules = 0
+            self._write(self.spark.createDataFrame([], ROBOTS_RULES), rob_path)
 
         n_frontier = frontier.count()
         snapshots = {
             "frontier": {"rows": n_frontier, "parts": parts0},
             "politeness_budgets": {"path": bud_path, "rows": budgets.count()},
-            "robots_rules": {"path": rob_path, "rows": 0},
+            "robots_rules": {"paths": [rob_path], "rows": n_rules},
         }
         if self.use_seen_filter:
             blobs = seenmod.init_filter(
@@ -140,7 +159,8 @@ class CrawlEngine:
                 # millions of file footers — the invariant is free)
                 "frontier_rows": n_frontier,
                 "pending": n_frontier,
-                "robots_rows": 0,
+                "robots_rows": n_rules,
+                "robots_complete": True,
             },
         )
 
@@ -158,8 +178,14 @@ class CrawlEngine:
             _tp[0] = now
 
         spark, cat, cfg = self.spark, self.catalog, self.cfg
-        budgets = cat.read_snapshot("politeness_budgets")
-        prev_meta = cat.manifest(cat.last_epoch()).get("meta", {})
+        if self._budgets is None:
+            # politeness budgets are immutable after init: cache the tiny
+            # per-host dim across epochs instead of re-reading parquet
+            self._budgets = cat.read_snapshot("politeness_budgets").persist()
+        budgets = self._budgets
+        prev_epoch = cat.last_epoch()
+        prev_manifest = cat.manifest(prev_epoch)
+        prev_meta = prev_manifest.get("meta", {})
         prev_rows = prev_meta.get("frontier_rows")
         prev_pending = prev_meta.get("pending")
         prev_robots_rows = prev_meta.get("robots_rows")
@@ -169,51 +195,57 @@ class CrawlEngine:
         # are never even listed, let alone read.  Legacy whole-table
         # snapshots fall back to a status filter (and are migrated to cells
         # by this epoch's commit).
-        parts = cat.frontier_parts()
+        parts = prev_manifest["snapshots"]["frontier"].get("parts")
         if parts is not None:
-            frontier = cat.read_snapshot("frontier")
-            pending = cat.read_parts(parts, status="pending")
+            frontier = cat.read_parts(parts, schema=FRONTIER)
+            pending = cat.read_parts(parts, status="pending", schema=FRONTIER)
             if pending is None:
                 pending = spark.createDataFrame([], FRONTIER)
         else:
             frontier = cat.read_snapshot("frontier")
             pending = frontier.where(F.col("status") == "pending")
 
-        # --- R1 + R2 ---
-        snapshots: dict = {}
-        n_robots_rows = prev_robots_rows
+        # --- R2 gate; R1 ran AHEAD (init_run / previous epoch's overlap) ---
+        # The committed robots table already covers every host that has
+        # ever held a frontier row (meta "robots_complete" invariant), so
+        # the epoch start needs NO synchronous rules job — the one-time
+        # acquisition for this epoch's newly-discovered hosts runs below,
+        # overlapped with the writes.
+        robots = None
+        robots_paths: list[str] = []
+        orig_robots_paths: list[str] = []
         if self.use_robots:
-            robots = cat.read_snapshot("robots_rules")
-            missing = pending.select("host").distinct().join(
-                robots.select("host").distinct(), "host", "left_anti"
-            )
-            # persist before counting: with a real (non-deterministic)
-            # fetcher, count() + the later snapshot write would otherwise
-            # run the mapInPandas fetch twice and could commit a snapshot
-            # that diverges from the counted n_new_rules
-            new_rules = fetch_robots(missing, cfg, epoch).persist()
-            n_new_rules = new_rules.count()
-            if prev_robots_rows is None:
-                # legacy catalog predating the tracked-count invariant:
-                # count the committed snapshot once before adding deltas
-                prev_robots_rows = robots.count()
-            if n_new_rules:
-                robots = robots.unionByName(new_rules)
-                rob_path = cat.stage_path(epoch, "robots_rules")
-                self._write(robots, rob_path)  # materialize once, reuse twice
-                robots = spark.read.parquet(rob_path)
-                n_robots_rows = prev_robots_rows + n_new_rules
-                snapshots["robots_rules"] = {"path": rob_path, "rows": n_robots_rows}
-            else:
-                # steady state — every pending host already has rules;
-                # reuse the committed snapshot (carried forward by commit())
-                n_robots_rows = prev_robots_rows
+            entry = prev_manifest["snapshots"]["robots_rules"]
+            robots_paths = list(entry.get("paths") or [entry["path"]])
+            orig_robots_paths = list(robots_paths)
+            robots = spark.read.schema(ROBOTS_RULES).parquet(*robots_paths)
+            if not prev_meta.get("robots_complete"):
+                # legacy catalog (manifests committed before the prefetch
+                # invariant): acquire rules for pending hosts synchronously
+                # ONCE; this commit marks the invariant, later epochs stay
+                # on the fast path.  persist-before-count: a real fetcher is
+                # non-deterministic, the counted rows must be the written rows
+                missing = pending.select("host").distinct().join(
+                    robots.select("host").distinct(), "host", "left_anti"
+                )
+                boot = fetch_robots(missing, cfg, epoch).persist()
+                n_boot = boot.count()
+                if prev_robots_rows is None:
+                    prev_robots_rows = robots.count()
+                if n_boot:
+                    boot_path = os.path.join(
+                        cat.stage_path(epoch, "robots_rules"), "bootstrap"
+                    )
+                    self._write(boot, boot_path)
+                    robots_paths.append(boot_path)
+                    robots = spark.read.schema(ROBOTS_RULES).parquet(*robots_paths)
+                    prev_robots_rows += n_boot
+                boot.unpersist()
             gated = robots_gate(pending.withColumn("path", path_expr()), robots).drop("path")
-            new_rules.unpersist()
         else:
             gated = pending.withColumn("allowed", F.lit(True))
         gated = gated.persist()
-        _mark("scan_robots")
+        _mark("gate_build")
         disallowed = gated.where(~F.col("allowed"))
         eligible = gated.where(F.col("allowed"))
 
@@ -285,56 +317,45 @@ class CrawlEngine:
         )
         fetched = spark.read.schema(FETCHED_STAGED).parquet(fetched_dir)
         retryable = (~F.col("ok")) & (F.col("retries") + 1 < F.lit(cfg.max_retries))
-        # one job over slim int columns: fetch metrics + the popped rows'
-        # host_bucket set (feeds the F7 touched-cell computation)
-        stats = fetched.agg(
-            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
-            F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
-            F.count(F.when(retryable, 1)).alias("n_retry_pending"),
-            F.coalesce(
-                F.sum(F.when(F.col("ok"), F.col("n_outlinks"))), F.lit(0)
-            ).alias("links"),
-            F.collect_set("host_bucket").alias("bks"),
-        ).collect()[0]
-        _mark("pop_fetch_stats")
-        n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
-        n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
-        popped_buckets = set(stats["bks"])
-        n_popped = n_ok + n_fail
-        cands = extract_candidates(
-            fetched.where(F.col("okp") == 1), cfg, self.n_buckets
+        _mark("fetch_write")
+
+        # --- everything after the fetch write overlaps on one pool ---
+        # Every remaining epoch output derives only from materialized state
+        # (the gated/popped caches the fetch write populated, the staged
+        # fetched parquet, or the flagged cache below), so the stat jobs and
+        # write jobs are mutually independent and run concurrently.  This
+        # overlaps per-job driver latency (Catalyst analysis, scheduling,
+        # file-commit protocol) that otherwise serializes ~8 jobs per epoch
+        # — the constant cost that caps N->4N scaling efficiency on fast
+        # epochs.  Atomicity is untouched: nothing is visible until the
+        # manifest rename below, and a failure in ANY job aborts the epoch
+        # before commit (futures re-raise at the gather).
+        pool = ThreadPoolExecutor(max_workers=10)
+        # fetch metrics + popped host_bucket set: one job over slim int
+        # columns of the staged parquet (spans never deserialized)
+        fut_fetch_stats = pool.submit(
+            lambda: fetched.agg(
+                F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+                F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
+                F.count(F.when(retryable, 1)).alias("n_retry_pending"),
+                F.coalesce(
+                    F.sum(F.when(F.col("ok"), F.col("n_outlinks"))), F.lit(0)
+                ).alias("links"),
+                F.collect_set("host_bucket").alias("bks"),
+            ).collect()[0]
         )
-
-        # --- early appends + disallowed stats, overlapped with D1/D2 ---
-        # documents needs NO job at all: the append entry points at the
-        # okp=1 cells of the already-written fetched staging dir (doc_id /
-        # spans / url / host / epoch are in the files; the extra engine
-        # columns ride along, nullable-allowed per SURVEY.md §1.2).
-        # crawl_log derives only from the popped cache the fetch write just
-        # materialized, and the disallowed count only from the gated cache
-        # — both independent of the candidate probe/flag below, so their
-        # jobs overlap the cand_probe action (the driver thread blocks on
-        # ins_stats anyway).
-        appends: dict = {
-            "documents": {"path": os.path.join(fetched_dir, "okp=1"), "rows": n_ok}
-        }
-
-        def write_append(name: str, df: DataFrame, rows: int | None) -> None:
-            path = cat.stage_path(epoch, name)
-            self._write(df, path)
-            appends[name] = {"path": path, "rows": rows if rows is not None else 1}
-
-        pool = ThreadPoolExecutor(max_workers=6)
-        fut_early = [
-            pool.submit(write_append, "crawl_log", crawl_log, n_popped),
-        ]
         fut_dis = pool.submit(
             lambda: disallowed.agg(
                 F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
             ).collect()[0]
         )
+        crawl_log_path = cat.stage_path(epoch, "crawl_log")
+        fut_crawl_log = pool.submit(self._write, crawl_log, crawl_log_path)
 
         # --- D1/D2 ---
+        cands = extract_candidates(
+            fetched.where(F.col("okp") == 1), cfg, self.n_buckets
+        )
         frontier_keys = frontier.select("url_hash")
         if self.use_seen_filter:
             seen = cat.read_snapshot("seen_filter")
@@ -349,6 +370,7 @@ class CrawlEngine:
             )
             flagged = seenmod.flag_new(probed, frontier_keys).persist()
         else:
+            seen = None
             # dropDuplicates for the same duplicate-immunity as
             # seen.flag_new (left join ≡ left_anti only under key-unique
             # marker; the dedup reuses the join's url_hash exchange)
@@ -359,17 +381,17 @@ class CrawlEngine:
                 .drop("_seen")
                 .persist()
             )
-        # ONE job for candidate count + insert count + touched buckets
-        # (collect_set and conditional count both skip nulls, so the
-        # when(is_new, ...) projections aggregate the insert subset only)
-        ins_stats = flagged.agg(
-            F.count("*").alias("n_cands"),
-            F.count(F.when(F.col("is_new"), 1)).alias("n"),
-            F.collect_set(F.when(F.col("is_new"), F.col("host_bucket"))).alias("bks"),
-        ).collect()[0]
-        _mark("cand_probe_stats")
-        n_cands = int(ins_stats["n_cands"])
-        n_new, insert_buckets = int(ins_stats["n"]), set(ins_stats["bks"])
+        # candidate + insert counts: one job over the flagged cache.  The
+        # concurrent flagged-consumers below share its materialization
+        # (Spark's cache block locks: first job computes each partition,
+        # the rest reuse it).
+        fut_ins_stats = pool.submit(
+            lambda: flagged.agg(
+                F.count("*").alias("n_cands"),
+                F.count(F.when(F.col("is_new"), 1)).alias("n"),
+            ).collect()[0]
+        )
+        cols = [f.name for f in FRONTIER.fields]
         inserts = flagged.where("is_new").select(
             "url_hash",
             "url",
@@ -382,16 +404,77 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             "parent_hash",
         )
-        dis_stats = fut_dis.result()  # cached via gated; job ran concurrently
-        n_disallowed, dis_buckets = int(dis_stats["n"]), set(dis_stats["bks"])
-        _mark("dis_stats")
+        fr_dir = cat.stage_path(epoch, "frontier")
+        # F7 inserts: written as APPENDED per-bucket dirs under their
+        # pending cells — a pending cell whose rows were not popped or
+        # disallowed this epoch is never read OR rewritten for an insert
+        # (true O(delta): the r02 form still rewrote insert-only cells).
+        # Fragmentation is bounded by _compact_cells below.
+        fut_insert_cells = pool.submit(
+            self._write_bucket_cells,
+            inserts.select(*cols),
+            os.path.join(fr_dir, "inserts"),
+        )
 
-        # --- F7 merge (cell-granular, O(delta)) ---
-        # Only (status, host_bucket) cells holding popped/disallowed/insert
-        # rows are rewritten; rows leaving 'pending' are APPENDED as new
-        # immutable dirs under their terminal cell.  Terminal cells are
-        # never rewritten — the manifest-level analogue of Iceberg MERGE
-        # INTO's add/remove-file commit (engine/catalog.py SC6 notes).
+        # --- D3 filter update ---
+        def write_seen() -> str:
+            new_blobs = seenmod.update_filter(
+                seen, inserts.select("url_hash"), self.n_filter_parts, epoch
+            )
+            sf_path = cat.stage_path(epoch, "seen_filter")
+            self._write(new_blobs, sf_path)
+            return sf_path
+
+        fut_seen = pool.submit(write_seen) if self.use_seen_filter else None
+
+        # --- R1 for NEXT epoch's gate: rules for hosts first discovered by
+        # this epoch's inserts, committed with this epoch (the
+        # robots_complete invariant) ---
+        def robots_delta() -> tuple[int | None, list[str] | None]:
+            if not self.use_robots:
+                return prev_robots_rows, None
+            new_hosts = (
+                flagged.where("is_new")
+                .select("host")
+                .distinct()
+                .join(robots.select("host").distinct(), "host", "left_anti")
+            )
+            delta = fetch_robots(new_hosts, cfg, epoch).persist()
+            n = delta.count()
+            if not n:
+                delta.unpersist()
+                return prev_robots_rows, None
+            dpath = os.path.join(cat.stage_path(epoch, "robots_rules"), "delta")
+            self._write(delta, dpath)
+            delta.unpersist()
+            paths = robots_paths + [dpath]
+            if len(paths) > self.max_cell_dirs:
+                cpath = os.path.join(cat.stage_path(epoch, "robots_rules"), "compact")
+                self._write(spark.read.schema(ROBOTS_RULES).parquet(*paths), cpath)
+                paths = [cpath]
+            base = prev_robots_rows if prev_robots_rows is not None else 0
+            return base + n, paths
+
+        fut_robots = pool.submit(robots_delta)
+
+        # --- L1 lineage ---
+        in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
+        lineage = (
+            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
+            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
+            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
+        )
+        lineage_path = cat.stage_path(epoch, "lineage")
+        fut_lineage = pool.submit(self._write, lineage.coalesce(1), lineage_path)
+
+        # --- F7 merge of TOUCHED pending cells (cell-granular, O(delta)) ---
+        # Only cells holding popped/disallowed rows are rewritten; rows
+        # leaving 'pending' are APPENDED as new immutable dirs under their
+        # terminal cell, which is never rewritten — the manifest-level
+        # analogue of Iceberg MERGE INTO's add/remove-file commit
+        # (engine/catalog.py SC6 notes).  Runs on the pool too: it needs
+        # only the two stat futures above, so it overlaps the probe/flag
+        # chain and every other write.
         updates = retry_transition(fetched, cfg.max_retries).unionByName(
             disallowed.select(
                 "url_hash",
@@ -400,101 +483,106 @@ class CrawlEngine:
                 F.lit(None).cast("double").alias("new_priority"),
             )
         )
-        touched = sorted(
-            b for b in popped_buckets | dis_buckets | insert_buckets if b is not None
-        )
-        cols = [f.name for f in FRONTIER.fields]
-        fr_dir = cat.stage_path(epoch, "frontier")
-        legacy_carry = None
-        if parts is None:
-            # one-time migration of a legacy whole-table snapshot to cells
-            pending_src = frontier.where(
-                (F.col("status") == "pending") & F.col("host_bucket").isin(touched)
-            )
-            legacy_carry = frontier.where(
-                (F.col("status") != "pending") | ~F.col("host_bucket").isin(touched)
-            ).select(*cols)
-            base_parts: dict = {}
-        else:
-            pending_src = cat.read_parts(parts, status="pending", buckets=set(touched))
-            if pending_src is None:
-                pending_src = spark.createDataFrame([], FRONTIER)
-            base_parts = {
-                cell: list(dirs)
-                for cell, dirs in parts.items()
-                if not (cell.startswith("pending/") and int(cell.split("/")[1]) in set(touched))
-            }
-        merged = (
-            pending_src.select(*cols)
-            .join(updates, "url_hash", "left")
-            .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
-            .withColumn("retries", F.coalesce(F.col("new_retries"), F.col("retries")))
-            .withColumn("priority", F.coalesce(F.col("new_priority"), F.col("priority")))
-            .drop("new_status", "new_retries", "new_priority")
-        )
-        # ONE write for the whole frontier delta (stay + inserts + moved):
-        # a single shuffle and a single job where the r01 form ran two jobs
-        # that EACH recomputed the merge join.  Touched pending cells are
-        # replaced; terminal cells gain one appended dir.
-        delta = merged.unionByName(inserts.select(*cols))
 
-        def write_frontier() -> dict:
-            new_parts = dict(base_parts)
-            for (st, b), p in self._write_status_cells(
-                delta, os.path.join(fr_dir, "cells")
-            ).items():
-                if st == "pending":
-                    new_parts[cat.cell_key("pending", b)] = [p]
-                else:
-                    new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+        def write_merged() -> tuple[dict, dict, dict]:
+            st, ds = fut_fetch_stats.result(), fut_dis.result()
+            touched = set(
+                b for b in set(st["bks"]) | set(ds["bks"]) if b is not None
+            )
+            carry_cells: dict = {}
+            if parts is None:
+                # one-time migration of a legacy whole-table snapshot to cells
+                pending_src = frontier.where(
+                    (F.col("status") == "pending") & F.col("host_bucket").isin(touched)
+                )
+                legacy_carry = frontier.where(
+                    (F.col("status") != "pending") | ~F.col("host_bucket").isin(touched)
+                ).select(*cols)
+                base: dict = {}
+            else:
+                pending_src = cat.read_parts(
+                    parts, status="pending", buckets=touched, schema=FRONTIER
+                )
+                if pending_src is None:
+                    pending_src = spark.createDataFrame([], FRONTIER)
+                legacy_carry = None
+                base = {
+                    cell: list(dirs)
+                    for cell, dirs in parts.items()
+                    if not (cell.startswith("pending/") and int(cell.split("/")[1]) in touched)
+                }
+            merged = (
+                pending_src.select(*cols)
+                .join(updates, "url_hash", "left")
+                .withColumn("status", F.coalesce(F.col("new_status"), F.col("status")))
+                .withColumn("retries", F.coalesce(F.col("new_retries"), F.col("retries")))
+                .withColumn("priority", F.coalesce(F.col("new_priority"), F.col("priority")))
+                .drop("new_status", "new_retries", "new_priority")
+            )
+            cells = self._write_status_cells(merged, os.path.join(fr_dir, "cells"))
             if legacy_carry is not None:
-                for (st, b), p in self._write_status_cells(
+                carry_cells = self._write_status_cells(
                     legacy_carry, os.path.join(fr_dir, "carry")
-                ).items():
-                    new_parts.setdefault(cat.cell_key(st, b), []).append(p)
-            return self._compact_cells(new_parts, fr_dir)
+                )
+            return base, cells, carry_cells
 
-        # --- D3 filter update ---
-        def write_seen() -> None:
-            new_blobs = seenmod.update_filter(
-                seen, inserts.select("url_hash"), self.n_filter_parts, epoch
-            )
-            sf_path = cat.stage_path(epoch, "seen_filter")
-            self._write(new_blobs, sf_path)
-            snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
+        fut_merged = pool.submit(write_merged)
 
-        # --- remaining appends: lineage (+ the early documents/crawl_log) ---
-        in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
-        lineage = (
-            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
-            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
-            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
-        )
-
-        # Every epoch output derives only from materialized state (the
-        # popped/gated/flagged caches or the staged fetched parquet), so the
-        # write JOBS are independent — crawl_log was submitted before the
-        # D1/D2 action (documents needs no job at all), the rest go on the
-        # same pool here.  This overlaps per-job
-        # driver latency (scheduling, file listing, commit protocol) that
-        # otherwise serializes ~6 jobs per epoch — the constant cost that
-        # caps N->4N scaling efficiency on fast epochs.  Atomicity is
-        # untouched: nothing is visible until the manifest rename below, and
-        # a failure in ANY write aborts the epoch before commit (futures
-        # re-raise here).
+        # --- gather (any failure aborts before commit) ---
         try:
-            fut_frontier = pool.submit(write_frontier)
-            fut_rest = fut_early + [
-                pool.submit(write_seen) if self.use_seen_filter else None,
-                pool.submit(write_append, "lineage", lineage.coalesce(1), None),
-            ]
-            new_parts = fut_frontier.result()
-            for f in fut_rest:
-                if f is not None:
-                    f.result()
+            stats = fut_fetch_stats.result()
+            dis_stats = fut_dis.result()
+            ins_stats = fut_ins_stats.result()
+            base_parts, merged_cells, carry_cells = fut_merged.result()
+            insert_cells = fut_insert_cells.result()
+            fut_crawl_log.result()
+            fut_lineage.result()
+            n_robots_rows, new_robots_paths = fut_robots.result()
+            sf_path = fut_seen.result() if fut_seen is not None else None
         finally:
             pool.shutdown(wait=True)
-        _mark("writes")
+        _mark("overlap_stats_writes")
+
+        n_ok, n_fail = int(stats["n_ok"]), int(stats["n_fail"])
+        n_retry_pending, n_links = int(stats["n_retry_pending"]), int(stats["links"])
+        n_popped = n_ok + n_fail
+        n_disallowed = int(dis_stats["n"])
+        n_cands, n_new = int(ins_stats["n_cands"]), int(ins_stats["n"])
+
+        # assemble the cell map deterministically on the main thread:
+        # rewritten pending cells REPLACE their dir list, terminal/carry
+        # dirs and insert dirs APPEND
+        new_parts = dict(base_parts)
+        for (st, b), p in merged_cells.items():
+            if st == "pending":
+                new_parts[cat.cell_key("pending", b)] = [p]
+            else:
+                new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+        for (st, b), p in carry_cells.items():
+            new_parts.setdefault(cat.cell_key(st, b), []).append(p)
+        for b, p in insert_cells.items():
+            new_parts.setdefault(cat.cell_key("pending", b), []).append(p)
+        new_parts = self._compact_cells(new_parts, fr_dir)
+
+        appends: dict = {
+            # documents needs NO job at all: the append entry points at the
+            # okp=1 cells of the already-written fetched staging dir (doc_id
+            # / spans / url / host / epoch are in the files; the extra
+            # engine columns ride along, nullable-allowed per SURVEY.md §1.2)
+            "documents": {"path": os.path.join(fetched_dir, "okp=1"), "rows": n_ok},
+            "crawl_log": {"path": crawl_log_path, "rows": n_popped},
+            "lineage": {"path": lineage_path, "rows": 1},
+        }
+        snapshots: dict = {}
+        if sf_path is not None:
+            snapshots["seen_filter"] = {"path": sf_path, "rows": self.n_filter_parts}
+        if new_robots_paths is not None:
+            snapshots["robots_rules"] = {"paths": new_robots_paths, "rows": n_robots_rows}
+        elif self.use_robots and robots_paths != orig_robots_paths:
+            # legacy bootstrap extended the committed dirs but no insert
+            # delta followed — still must commit the bootstrap dir
+            snapshots["robots_rules"] = {"paths": robots_paths, "rows": n_robots_rows}
+        _mark("assemble")
 
         # --- metrics (definitions shared with pyref.oracle) ---
         # pending_end and frontier_rows follow arithmetically from the
@@ -542,6 +630,7 @@ class CrawlEngine:
                 "frontier_rows": frontier_rows,
                 "pending": pending_end,
                 "robots_rows": n_robots_rows,
+                "robots_complete": True,
             },
         )
 

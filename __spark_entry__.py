@@ -56,6 +56,9 @@ _FRONT = (
     # as the exact query — the blocked plan is exact by construction), so its
     # first hash-checked driver row must land in r03 (VERDICT r02 task 5).
     "emb_cosine_pairs_blocked",
+    # new round-3 pipeline ops (first driver run)
+    "doc_pack_sequences",
+    "corpus_bigram_topk",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",

@@ -7,7 +7,7 @@ each with a DuckDB oracle implementing the identical formula.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from analytics.common import load
@@ -174,4 +174,100 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return d.select(
         "doc_id", F.pmod(total, F.lit(1000000007)).cast("long").alias("fingerprint")
+    )
+
+
+# -------------------------------------------------- pretraining packing ops
+PACK_CTX = 256  # context-window length in whitespace tokens
+
+
+@q(
+    "doc_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_start
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(CAST(cum_start AS DOUBLE) / {PACK_CTX}) AS BIGINT) AS seq_id,
+           cum_start % {PACK_CTX} AS offset_in_seq
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concat-and-chunk documents into
+    PACK_CTX-token context windows (the GPT-style packing pass).
+
+    Docs are concatenated in deterministic (source, doc_id) order; each doc
+    gets the window index (``seq_id``) and token offset where it starts.
+    Realized as a per-source running-total window — one shuffle on
+    ``source``, then a linear scan per group.  Scale shape: packing is
+    per-shard on a real corpus (each source/shard packs independently, no
+    global order), so the window key gives the embarrassingly-parallel
+    plan a 100x corpus needs; no collect, no global sort.
+    """
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    n_tokens = F.size(F.split(F.trim("text"), " +")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    cum_start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_start")
+    c = t.select("doc_id", "source", "n_tokens", cum_start)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_start").cast("double") / PACK_CTX)
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("cum_start") % PACK_CTX).alias("offset_in_seq"),
+    )
+
+
+@q(
+    "corpus_bigram_topk",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    b AS (
+      SELECT doc_id, pos, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM w WHERE word != '')
+    SELECT word || ' ' || nxt AS bigram, count(*) AS cnt
+    FROM b WHERE nxt IS NOT NULL AND nxt != ''
+    GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def corpus_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level bigram frequency top-k (data-quality / contamination
+    analysis pass).  The bigram list is built per-doc with ONE local HOF
+    ``transform`` over the word array (no explode shuffle, no per-doc
+    window): ``zip_with(words, slice(words, 2, n), concat)``.  Only the
+    (bigram, count) pairs shuffle — a partial-aggregated hash agg, then a
+    global top-k with a total-order tie-break (cnt desc, bigram asc) so the
+    result is deterministic at any parallelism."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .where(~F.col("bigram").rlike("^[^ ]*$"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
     )

@@ -3,15 +3,18 @@
 Per-epoch dataflow (SURVEY.md §3.1, shuffles labeled):
 
   pending scan (partition-pruned on status)             [no shuffle]
-  → R1 robots acquisition (left_anti + mapInPandas)
-  → R2 robots gate (broadcast join + array HOF, zero-shuffle)
+  → R2 robots gate (broadcast join + array HOF, zero-shuffle —
+    rules were prefetched by init_run / the previous epoch, so R1
+    never sits on the epoch critical path)
   → politeness k (broadcast join budgets)
   → F5 salted two-stage window-rank pop                 [shuffle 1: (host,salt); shuffle 2: host (pruned)]
   → F6+X1+X2 fused fetch/parse/extract (mapInPandas)    [narrow]
+  ── everything below overlaps on one thread pool ──
   → C1 canonicalize outlinks + intra-epoch dedup window [shuffle 3: url_hash]
   → D1 bloom probe (cogrouped applyInPandas)            [shuffle 4: part_id]
   → D2 exact anti-join of maybe-seen rows vs frontier   [shuffle 5: url_hash, bloom-cut]
-  → F7 merge + D3 filter update + L1 lineage → staging writes
+  → F7 touched-cell merge + insert-dir appends + D3 filter update
+    + L1 lineage + R1 robots for this epoch's new hosts → staging writes
   → K1 atomic manifest commit                           [driver]
 
 Determinism: every ordering decision reduces to the total key
@@ -177,6 +180,21 @@ class CrawlEngine:
             _ph[name] = round(now - _tp[0], 2)
             _tp[0] = now
 
+        def _timed(name: str, fn, *args):
+            # per-future (start, dur) relative to epoch t0: shows which
+            # concurrent job is the overlap window's straggler
+            def wrapped():
+                s = time.time()
+                try:
+                    return fn(*args)
+                finally:
+                    _ph.setdefault("futures", {})[name] = (
+                        round(s - t0, 2),
+                        round(time.time() - s, 2),
+                    )
+
+            return wrapped
+
         spark, cat, cfg = self.spark, self.catalog, self.cfg
         if self._budgets is None:
             # politeness budgets are immutable after init: cache the tiny
@@ -333,7 +351,8 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=10)
         # fetch metrics + popped host_bucket set: one job over slim int
         # columns of the staged parquet (spans never deserialized)
-        fut_fetch_stats = pool.submit(
+        fut_fetch_stats = pool.submit(_timed(
+            "fetch_stats",
             lambda: fetched.agg(
                 F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
                 F.count(F.when(~F.col("ok"), 1)).alias("n_fail"),
@@ -342,15 +361,16 @@ class CrawlEngine:
                     F.sum(F.when(F.col("ok"), F.col("n_outlinks"))), F.lit(0)
                 ).alias("links"),
                 F.collect_set("host_bucket").alias("bks"),
-            ).collect()[0]
-        )
-        fut_dis = pool.submit(
+            ).collect()[0],
+        ))
+        fut_dis = pool.submit(_timed(
+            "dis_stats",
             lambda: disallowed.agg(
                 F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
-            ).collect()[0]
-        )
+            ).collect()[0],
+        ))
         crawl_log_path = cat.stage_path(epoch, "crawl_log")
-        fut_crawl_log = pool.submit(self._write, crawl_log, crawl_log_path)
+        fut_crawl_log = pool.submit(_timed("crawl_log", self._write, crawl_log, crawl_log_path))
 
         # --- D1/D2 ---
         cands = extract_candidates(
@@ -385,12 +405,13 @@ class CrawlEngine:
         # concurrent flagged-consumers below share its materialization
         # (Spark's cache block locks: first job computes each partition,
         # the rest reuse it).
-        fut_ins_stats = pool.submit(
+        fut_ins_stats = pool.submit(_timed(
+            "ins_stats",
             lambda: flagged.agg(
                 F.count("*").alias("n_cands"),
                 F.count(F.when(F.col("is_new"), 1)).alias("n"),
-            ).collect()[0]
-        )
+            ).collect()[0],
+        ))
         cols = [f.name for f in FRONTIER.fields]
         inserts = flagged.where("is_new").select(
             "url_hash",
@@ -410,11 +431,12 @@ class CrawlEngine:
         # disallowed this epoch is never read OR rewritten for an insert
         # (true O(delta): the r02 form still rewrote insert-only cells).
         # Fragmentation is bounded by _compact_cells below.
-        fut_insert_cells = pool.submit(
+        fut_insert_cells = pool.submit(_timed(
+            "insert_cells",
             self._write_bucket_cells,
             inserts.select(*cols),
             os.path.join(fr_dir, "inserts"),
-        )
+        ))
 
         # --- D3 filter update ---
         def write_seen() -> str:
@@ -425,7 +447,7 @@ class CrawlEngine:
             self._write(new_blobs, sf_path)
             return sf_path
 
-        fut_seen = pool.submit(write_seen) if self.use_seen_filter else None
+        fut_seen = pool.submit(_timed("seen", write_seen)) if self.use_seen_filter else None
 
         # --- R1 for NEXT epoch's gate: rules for hosts first discovered by
         # this epoch's inserts, committed with this epoch (the
@@ -455,7 +477,7 @@ class CrawlEngine:
             base = prev_robots_rows if prev_robots_rows is not None else 0
             return base + n, paths
 
-        fut_robots = pool.submit(robots_delta)
+        fut_robots = pool.submit(_timed("robots_delta", robots_delta))
 
         # --- L1 lineage ---
         in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
@@ -465,7 +487,7 @@ class CrawlEngine:
             .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
         )
         lineage_path = cat.stage_path(epoch, "lineage")
-        fut_lineage = pool.submit(self._write, lineage.coalesce(1), lineage_path)
+        fut_lineage = pool.submit(_timed("lineage", self._write, lineage.coalesce(1), lineage_path))
 
         # --- F7 merge of TOUCHED pending cells (cell-granular, O(delta)) ---
         # Only cells holding popped/disallowed rows are rewritten; rows
@@ -526,7 +548,7 @@ class CrawlEngine:
                 )
             return base, cells, carry_cells
 
-        fut_merged = pool.submit(write_merged)
+        fut_merged = pool.submit(_timed("merged", write_merged))
 
         # --- gather (any failure aborts before commit) ---
         try:

@@ -59,6 +59,9 @@ _FRONT = (
     # new round-3 pipeline ops (first driver run)
     "doc_pack_sequences",
     "corpus_bigram_topk",
+    "doc_decontaminate",
+    "doc_repetition_score",
+    "doc_mixture_rebalance",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",

@@ -104,3 +104,67 @@ def doc_split_assign(spark: SparkSession, sf: str) -> DataFrame:
         F.when(k < "c", "train").when(k < "e", "val").otherwise("test")
     )
     return d.select("doc_id", split.alias("split"))
+
+
+# ------------------------------------------------------- mixture rebalance
+_MIX_SALT = "mix-v1:"
+
+
+@q(
+    "doc_mixture_rebalance",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+    m AS (SELECT min(cnt) AS mn FROM c),
+    cuts AS (
+      SELECT lang,
+             CASE WHEN cnt <= mn THEN 'g'
+                  ELSE printf('%08x', CAST(floor(mn * 4294967296.0 / cnt) AS BIGINT))
+             END AS hex_cut
+      FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cuts USING (lang)
+    WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) < hex_cut
+    """,
+)
+def doc_mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain/language-mix rebalancing: downsample every stratum to the
+    size of the smallest one (uniform target mixture), deterministically.
+
+    The per-stratum keep fraction ``min_cnt / cnt`` is converted to an
+    8-hex-digit cut of the md5 space (``'g'`` — lexicographically above
+    every hex string — for keep-all strata, so fraction 1.0 needs no
+    special numeric range).  Plan: one partial-agg scan for the stratum
+    counts (a handful of rows), a broadcast of the cuts, then one
+    stateless filter scan — the shape a 100 TB mixture pass needs.  The
+    md5 threshold makes the sample identical on any engine, partitioning,
+    or retry (same rationale as doc_sample_stratified); the DuckDB oracle
+    is an exact twin, not a statistical one."""
+    d = load(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    cuts = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.when(F.col("cnt") <= F.col("mn"), F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(F.col("mn") * 4294967296.0 / F.col("cnt")).cast(
+                            "long"
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("hex_cut"),
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .where(key < F.col("hex_cut"))
+        .select("doc_id", "lang")
+    )

@@ -271,3 +271,109 @@ def corpus_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+# ----------------------------------------------- decontamination + quality
+DECON_N = 3  # word-n-gram width for benchmark-overlap detection
+
+
+@q(
+    "doc_decontaminate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - {DECON_N - 1}),
+               i -> array_to_string(ws[i:i+{DECON_N - 1}], ' ')))) AS ng
+      FROM w WHERE len(ws) >= {DECON_N}),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, count(DISTINCT g.ng) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id % 97 != 0
+    GROUP BY 1
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    DECON_N-gram with the held-out benchmark set (here the deterministic
+    ``doc_id % 97 == 0`` subset stands in for an eval suite).
+
+    The n-gram list is built per-doc with local HOFs
+    (``transform(sequence(...), i -> concat_ws(slice(...)))`` — no explode
+    until the join key is needed) and deduped per doc before the join.
+    Scale shape: real benchmark suites are megabytes against a 100 TB
+    corpus, so the benchmark n-gram set is a BROADCAST hash join — the
+    corpus side stays a single scan with no shuffle; only the per-doc hit
+    count aggregates (partial, on doc_id)."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    w = d.select("doc_id", words.alias("ws")).where(F.size("ws") >= DECON_N)
+    ngs = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(ws) - {DECON_N - 1}),"
+            f" i -> concat_ws(' ', slice(ws, i, {DECON_N})))"
+        )
+    )
+    g = w.select("doc_id", F.explode(ngs).alias("ng"))
+    bench = g.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_hits"))
+    )
+
+
+@q(
+    "doc_repetition_score",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      FROM documents),
+    c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    s AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_words,
+                 count(*) AS n_distinct
+          FROM c GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_ratio,
+           round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio
+    FROM s
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition features (the Gopher-rule family corpus
+    filters threshold on): top-word frequency ratio and distinct-word
+    ratio.
+
+    ZERO-shuffle: the top-word count is the longest run in the locally
+    sorted word array, computed by one ``aggregate`` scan with a struct
+    accumulator — the oracle's explode + two-level groupBy expresses the
+    same semantics but would shuffle every word; this form stays a single
+    narrow pass however large the corpus."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    w = d.select("doc_id", words.alias("ws")).where(F.size("ws") > 0)
+    top_cnt = F.expr(
+        """aggregate(
+             array_sort(ws),
+             named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+             (acc, w) -> named_struct(
+               'prev', w,
+               'run', IF(acc.prev IS NOT NULL AND w = acc.prev, acc.run + 1L, 1L),
+               'best', GREATEST(acc.best,
+                 IF(acc.prev IS NOT NULL AND w = acc.prev, acc.run + 1L, 1L))),
+             acc -> acc.best)"""
+    )
+    n_words = F.size("ws").cast("long")
+    return w.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(top_cnt.cast("double") / n_words, 4).alias("top_word_ratio"),
+        F.round(F.size(F.array_distinct("ws")).cast("double") / n_words, 4).alias(
+            "distinct_ratio"
+        ),
+    )

@@ -62,6 +62,7 @@ _FRONT = (
     "doc_decontaminate",
     "doc_repetition_score",
     "doc_mixture_rebalance",
+    "emb_quantize_int8",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",

@@ -366,3 +366,43 @@ def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(gemm, "v1 long, v2 long, cos double")
         .select("v1", "v2", "cos")
     )
+
+
+# ---------------------------------------------------------- quantization
+@q(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id,
+           round(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 / 127.0, 6) AS scale,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)
+                  / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+                     / 127.0)) AS TINYINT)) AS qvec
+    FROM embeddings
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/ANN-index
+    compression pass of a vector pipeline): scale = max|x| / 127, each
+    component rounded to [-127, 127].
+
+    Pure native HOFs over the embedding array — WholeStageCodegen, zero
+    Python, zero shuffle: a single stateless scan that maps 256 B of
+    float32 to 64 B of int8 per vector, exactly the pass that runs over
+    every shard of a 100 TB embedding store before index build.  All
+    arithmetic is forced to float64 on both engines (float32 division
+    would make last-ulp rounding engine-dependent); both Spark ``round``
+    and DuckDB ``round`` are half-away-from-zero, so the oracle is an
+    exact twin."""
+    e = load_spread(spark, sf, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+    scale = absmax / F.lit(127.0)
+    qvec = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") / scale).cast("byte")
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        qvec.alias("qvec"),
+    )

@@ -36,6 +36,9 @@ HEADLINE = (
     "ann_topk_bruteforce",
     "text_quality",
     "doc_fingerprint",
+    # round-3 pipeline additions: broadcast decontamination join + packing window
+    "doc_decontaminate",
+    "doc_pack_sequences",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

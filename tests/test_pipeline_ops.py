@@ -229,3 +229,99 @@ def test_split_assign_partitions_corpus(spark):
     ).where(F.col("doc_id") % 2 == 0)
     for r in half.collect():
         assert r["doc_id"] in by[r["split"]]
+
+
+def test_pack_sequences_offsets_consistent(spark):
+    """Packing invariants: per (source, doc_id) order the cumulative token
+    stream is gapless — each doc's global start = seq_id*CTX + offset, and
+    consecutive docs abut exactly (start_{i+1} = start_i + n_tokens_i)."""
+    from analytics import text
+
+    rows = text.doc_pack_sequences(spark, SF_TEST).collect()
+    by_src: dict = {}
+    for r in rows:
+        assert 0 <= r["offset_in_seq"] < text.PACK_CTX
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["seq_id"] * text.PACK_CTX + r["offset_in_seq"] == pos, (
+                src,
+                r["doc_id"],
+            )
+            pos += r["n_tokens"]
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    """No benchmark doc (doc_id % 97 == 0) appears in the contaminated
+    output, and every reported hit count is positive."""
+    from analytics import text
+
+    rows = text.doc_decontaminate(spark, SF_TEST).collect()
+    assert rows, "expected some contamination in the synthetic corpus"
+    for r in rows:
+        assert r["doc_id"] % 97 != 0
+        assert r["n_hits"] >= 1
+
+
+def test_repetition_score_bounds(spark):
+    """top_word_ratio and distinct_ratio lie in (0, 1]; a doc's top word
+    can never be rarer than uniform (ratio >= 1/n_distinct-ish bound via
+    top >= words/distinct)."""
+    from analytics import text
+
+    rows = text.doc_repetition_score(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["top_word_ratio"] <= 1.0
+        assert 0 < r["distinct_ratio"] <= 1.0
+        # top count >= ceil(n_words / n_distinct) => ratio product bound
+        assert r["top_word_ratio"] * r["distinct_ratio"] * r["n_words"] >= 0.999
+
+
+def test_mixture_rebalance_determinism_and_caps(spark):
+    """Rebalanced strata never exceed their original size; the smallest
+    stratum is kept whole; two runs return the identical doc set."""
+    from analytics import sampling
+    from analytics.common import load
+
+    orig = {
+        r["lang"]: r["n"]
+        for r in load(spark, SF_TEST, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept_rows = sampling.doc_mixture_rebalance(spark, SF_TEST).collect()
+    kept: dict = {}
+    for r in kept_rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    mn = min(orig.values())
+    for lang, n in kept.items():
+        assert n <= orig[lang]
+    for lang, n in orig.items():
+        if n == mn:
+            assert kept.get(lang, 0) == n, "smallest stratum must be kept whole"
+    again = {r["doc_id"] for r in sampling.doc_mixture_rebalance(spark, SF_TEST).collect()}
+    assert again == {r["doc_id"] for r in kept_rows}
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    """Dequantized vectors reconstruct the original within one scale step
+    per component, and qvec components stay in [-127, 127]."""
+    from analytics import similarity
+    from analytics.common import load
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF_TEST, "embeddings").collect()
+    }
+    for r in similarity.emb_quantize_int8(spark, SF_TEST).collect():
+        emb, scale, qv = orig[r["vec_id"]], r["scale"], r["qvec"]
+        assert len(qv) == len(emb)
+        for x, qx in zip(emb, qv):
+            assert -127 <= qx <= 127
+            # scale is reported rounded to 6dp while qvec used the exact
+            # scale: allow |q| * 5e-7 of rounding slop on top of half-step
+            assert abs(qx * scale - x) <= scale * 0.51 + 127 * 5e-7

@@ -28,6 +28,7 @@ from analytics import (  # noqa: E402
     crawl_queries,
     dedup,
     multimodal,
+    pipeline,
     relational,
     sampling,
     similarity,
@@ -35,7 +36,7 @@ from analytics import (  # noqa: E402
     udfs,
 )
 
-_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs)
+_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs, pipeline)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -63,6 +64,7 @@ _FRONT = (
     "doc_repetition_score",
     "doc_mixture_rebalance",
     "emb_quantize_int8",
+    "pipeline_pretrain_corpus",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",

@@ -48,41 +48,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the STALEST driver
-# signal.  r03: the two new cluster-resolution queries (first driver run),
-# `ann_ivf` (never driver-run) + the 13 queries whose last driver row is
-# r01 — i.e. predates the round-2 cell-granular F7 merge and the
-# zero-shuffle shingle rewrite (VERDICT.md r02 "What's missing" #1).
+# signal.  r04 (VERDICT r03 task 3): the two r03 red rows whose fixes land
+# this round, the three queries whose plans changed in r03 via
+# `load_spread` AFTER their last driver row, then the 22 remaining queries
+# whose last driver row is r02 — every registered query then has a driver
+# row from r03 or r04.
 _FRONT = (
-    # emb_cosine_pairs_blocked gained its DuckDB oracle this round (same SQL
-    # as the exact query — the blocked plan is exact by construction), so its
-    # first hash-checked driver row must land in r03 (VERDICT r02 task 5).
-    "emb_cosine_pairs_blocked",
-    # new round-3 pipeline ops (first driver run)
+    # r03 red rows, fixed this round (oracle HUGEINT cast; array→string shape)
     "doc_pack_sequences",
-    "corpus_bigram_topk",
-    "doc_decontaminate",
-    "doc_repetition_score",
-    "doc_mixture_rebalance",
     "emb_quantize_int8",
-    "pipeline_pretrain_corpus",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "doc_sample_stratified",
-    "doc_split_assign",
-    "ann_ivf",
-    "frontier_pop",
-    "frontier_merge",
-    "robots_longest_prefix",
-    "canonicalize_urls",
-    "seed_ingest",
-    "url_keys",
-    "synth_fetch_spans",
-    "bloom_probe",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "st5_session_window",
+    # plans changed in r03 (load_spread) after their last (r02) driver row
+    "emb_cosine_pairs",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    # last driver row r02
+    "t2_topk_limit",
+    "t3_group_topk",
+    "u1_union",
+    "u2_intersect_except",
+    "u3_distinct_pairs",
+    "x_string_funcs",
+    "x_hash_funcs",
+    "x_date_funcs",
+    "x_math_funcs",
+    "x_array_funcs",
+    "x_json_funcs",
+    "x_map_funcs",
+    "x_struct_funcs",
+    "st3_tumbling_window",
+    "st4_sliding_window",
+    "ud5_grouped_agg_udaf",
+    "text_quality",
+    "text_langid",
+    "token_count",
+    "doc_fingerprint",
+    "media_decode_stub",
+    "media_frame_sample",
 )
 
 

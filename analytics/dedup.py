@@ -75,6 +75,15 @@ def _shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
     d = load_spread(spark, sf, "documents")
     words = F.split("text", " ")
     n = F.size(words)
+    # cheap pre-filter BEFORE the trigram build: docs with <3 words have no
+    # trigrams, so dropping them here is semantics-preserving for every
+    # consumer (explode drops empty arrays; minhash skips empty docs).  The
+    # filter must stay CHEAP: Catalyst pushes filters below load_spread's
+    # repartition, and the r03 formulation — a downstream
+    # where(size(shingles) > 0) — dragged the whole interpreted trigram
+    # build onto the single-file scan partition, serializing it (measured
+    # 3.5 s of dedup_minhash_lsh's 8 s sf0.1 wall).
+    d = d.where(n >= 3)
     tri = F.transform(
         F.sequence(F.lit(1), n - 2),
         lambda i: F.concat_ws(
@@ -172,10 +181,103 @@ def _perm_coeffs() -> list[tuple[int, int]]:
 
 def _hashed_shingles(shingle_arrays: DataFrame) -> DataFrame:
     """(doc_id, hs: array<long>) — xxhash64 of each distinct shingle,
-    mapped into [0, 2^31-1).  Local, zero-shuffle, JVM-side."""
-    return shingle_arrays.where(F.size("shingles") > 0).select(
+    mapped into [0, 2^31-1).  Local, zero-shuffle, JVM-side.
+
+    No empty-array filter here: _shingle_arrays already drops <3-word docs
+    with a cheap pre-build predicate, and re-filtering on the built array
+    would be pushed below the spread repartition and serialize the trigram
+    build (see _shingle_arrays).  The Arrow UDF keeps a per-row fallback
+    as defense if a caller ever feeds empty arrays."""
+    return shingle_arrays.select(
         "doc_id",
         F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}L))").alias("hs"),
+    )
+
+
+# 64-bit odd multiplier (golden-ratio constant) for the per-band polynomial
+# hash over the band's ROWS_PER_BAND signature minima — computed inside the
+# same Arrow pass as the signatures themselves (uint64 wraparound), replacing
+# the r03 JVM formulation (16 × xxhash64(concat_ws(element_at...)) — an
+# interpreted per-band, per-row expression that measured ~27% of the query).
+# Band semantics are unchanged: equal hash ⟺ equal 4-tuple (mod ~2^-64
+# collisions); tests pin bands == hash(sig slice) independently.
+_BAND_MULT = 0x9E3779B97F4A7C15
+
+
+def _band_hashes_np(mins: "np.ndarray") -> "np.ndarray":
+    """mins: uint64[N_PERM, n_docs] → int64[N_BANDS, n_docs] band hashes."""
+    with np.errstate(over="ignore"):
+        k = np.uint64(_BAND_MULT)
+        out = np.empty((N_BANDS, mins.shape[1]), dtype=np.uint64)
+        for b in range(N_BANDS):
+            h = np.zeros(mins.shape[1], dtype=np.uint64)
+            for r in range(ROWS_PER_BAND):
+                h = h * k + mins[b * ROWS_PER_BAND + r]
+            out[b] = h
+    return out.astype(np.int64)
+
+
+def minhash_signatures_banded(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, sig: array<long>[N_PERM],
+    bands: array<long>[N_BANDS]) — signatures AND per-band LSH bucket
+    hashes in ONE Arrow pass (see :func:`minhash_signatures`)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    coeffs = _perm_coeffs()
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.uint64)
+    out_t = StructType(
+        [
+            StructField("sig", ArrayType(LongType())),
+            StructField("bands", ArrayType(LongType())),
+        ]
+    )
+
+    def _row_fallback(arr) -> tuple[list[int], list[int]] | None:
+        # degenerate batches (an empty shingle array slipped through) fall
+        # back per-row; caller filters empties so this is cold
+        if not len(arr):
+            return None
+        sig = [
+            int(((a * np.uint64(h) + b) % np.uint64(_MERSENNE)).min())
+            for a, b in zip(a_vec, b_vec)
+        ]
+        m = _band_hashes_np(
+            np.asarray(sig, dtype=np.uint64).reshape(N_PERM, 1)
+        )[:, 0]
+        return sig, [int(x) for x in m]
+
+    @pandas_udf(out_t)
+    def sig_udf(hs: pd.Series) -> pd.DataFrame:
+        lens = hs.map(len).to_numpy()
+        if len(lens) == 0 or (lens == 0).any():
+            pairs = hs.map(_row_fallback)
+            return pd.DataFrame(
+                {
+                    "sig": pairs.map(lambda p: p and p[0]),
+                    "bands": pairs.map(lambda p: p and p[1]),
+                }
+            )
+        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        mins = np.empty((len(coeffs), len(lens)), dtype=np.uint64)
+        m = np.uint64(_MERSENNE)
+        for i in range(len(coeffs)):
+            mins[i] = np.minimum.reduceat((a_vec[i] * flat + b_vec[i]) % m, offsets)
+        bands = _band_hashes_np(mins)
+        sig_i64 = mins.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "sig": list(sig_i64.T),
+                "bands": list(bands.T),
+            }
+        )
+
+    return _hashed_shingles(shingle_arrays).select(
+        "doc_id", sig_udf("hs").alias("sb")
+    ).select(
+        "doc_id", F.col("sb.sig").alias("sig"), F.col("sb.bands").alias("bands")
     )
 
 
@@ -200,36 +302,12 @@ def minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
     tests/test_pipeline_ops.py, so the Arrow path is semantics-checked
     against the pure-JVM one.  Docs with zero shingles get no signature
     row (same contract as the exploded formulation).
+
+    Single implementation lives in :func:`minhash_signatures_banded` (one
+    Arrow pass also emits the per-band LSH hashes); this projection keeps
+    the historical (doc_id, sig) surface for the parity/plan-shape tests.
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    coeffs = _perm_coeffs()
-    a_vec = np.array([a for a, _ in coeffs], dtype=np.uint64)
-    b_vec = np.array([b for _, b in coeffs], dtype=np.uint64)
-
-    @pandas_udf(ArrayType(LongType()))
-    def sig_udf(hs: pd.Series) -> pd.Series:
-        lens = hs.map(len).to_numpy()
-        if len(lens) == 0 or (lens == 0).any():
-            # caller filters empties; degenerate batches fall back per-row
-            return hs.map(
-                lambda arr: [
-                    int(((a * np.uint64(h) + b) % np.uint64(_MERSENNE)).min())
-                    for a, b in zip(a_vec, b_vec)
-                ]
-                if len(arr)
-                else None
-            )
-        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        mins = np.empty((len(coeffs), len(lens)), dtype=np.int64)
-        m = np.uint64(_MERSENNE)
-        for i in range(len(coeffs)):
-            mins[i] = np.minimum.reduceat((a_vec[i] * flat + b_vec[i]) % m, offsets).astype(np.int64)
-        return pd.Series(list(mins.T))
-
-    return _hashed_shingles(shingle_arrays).select("doc_id", sig_udf("hs").alias("sig"))
+    return minhash_signatures_banded(shingle_arrays).select("doc_id", "sig")
 
 
 def minhash_signatures_native(shingle_arrays: DataFrame) -> DataFrame:
@@ -256,25 +334,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     O(collisions), not O(n²); the exact verifier then runs only on
     candidates.  Rows-only for the driver (bucketed-candidate recall is
     asserted vs exact Jaccard in tests/test_dedup.py)."""
-    sigs = minhash_signatures(_shingle_arrays(spark, sf)).persist()
+    sigs = minhash_signatures_banded(_shingle_arrays(spark, sf)).persist()
     bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        )
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

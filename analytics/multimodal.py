@@ -13,7 +13,7 @@ deliverable and are fully tested):
   introduced by decode/feature steps (narrow chain after the scan).
 
 Rows-only for the driver (binary ops are outside DuckDB parity);
-tests/test_multimodal.py pins determinism and schema.
+tests/test_pipeline_ops.py pins determinism and schema.
 """
 
 from __future__ import annotations

@@ -100,10 +100,21 @@ def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     baseline every ANN variant is judged against."""
     from pyspark.sql import Window
 
-    e = load_spread(spark, sf, "embeddings")
-    qs = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    from analytics.common import load
+
+    # Query side: 10 rows — read it WITHOUT load_spread (repartitioning 10
+    # rows buys nothing and costs a shuffle) and broadcast it explicitly so
+    # the nested-loop join streams the big candidate side, whose
+    # load_spread gives the per-core parallelism.  r03 regression lesson:
+    # spreading BOTH branches made the optimizer's size estimate for the
+    # tiny side opaque (repartition hides the scan stats) and doubled the
+    # wall (BENCH_r03 2.88 s vs r02 1.38 s).
+    qs = F.broadcast(
+        load(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     )
+    e = load_spread(spark, sf, "embeddings")
     cs = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     c = cosine(F.col("qe"), F.col("ce"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -369,23 +380,11 @@ def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------- quantization
-@q(
-    "emb_quantize_int8",
-    """
-    SELECT vec_id,
-           round(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-                 / 127.0, 6) AS scale,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE)
-                  / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
-                     / 127.0)) AS TINYINT)) AS qvec
-    FROM embeddings
-    """,
-)
-def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+def quantize_int8(e: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization (the storage/ANN-index
     compression pass of a vector pipeline): scale = max|x| / 127, each
-    component rounded to [-127, 127].
+    component rounded to [-127, 127].  Library form — emits the raw
+    ``qvec: array<tinyint>`` column downstream index builds consume.
 
     Pure native HOFs over the embedding array — WholeStageCodegen, zero
     Python, zero shuffle: a single stateless scan that maps 256 B of
@@ -394,15 +393,47 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic is forced to float64 on both engines (float32 division
     would make last-ulp rounding engine-dependent); both Spark ``round``
     and DuckDB ``round`` are half-away-from-zero, so the oracle is an
-    exact twin."""
-    e = load_spread(spark, sf, "embeddings")
+    exact twin.  Degenerate all-zero vectors (scale = 0) quantize to all
+    zeros instead of dividing by zero (null under non-ANSI Spark, NaN in
+    DuckDB — the twin diverged there before the guard)."""
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
     scale = absmax / F.lit(127.0)
+    safe = F.when(scale == 0, F.lit(None).cast("double")).otherwise(scale)
     qvec = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") / scale).cast("byte")
+        "embedding",
+        lambda x: F.coalesce(F.round(x.cast("double") / safe), F.lit(0.0)).cast("byte"),
     )
     return e.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
         qvec.alias("qvec"),
+    )
+
+
+@q(
+    "emb_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings)
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(list_transform(embedding,
+             x -> CAST(coalesce(round(CAST(x AS DOUBLE) / nullif(scale, 0)), 0)
+                       AS TINYINT)), ',') AS qvec
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-facing shape of :func:`quantize_int8`: the int8 components are
+    joined into one comma-separated string because the driver's row
+    canonicalizer sorts by every output column and cannot sort list-typed
+    values (CORRECTNESS_r03 `TypeError: unhashable type: 'list'`).  The
+    array-returning library form stays `quantize_int8`."""
+    qv = quantize_int8(load_spread(spark, sf, "embeddings"))
+    return qv.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda v: v.cast("string")), ",").alias("qvec"),
     )

@@ -195,7 +195,7 @@ PACK_CTX = 256  # context-window length in whitespace tokens
       FROM t)
     SELECT doc_id, source, n_tokens,
            CAST(floor(CAST(cum_start AS DOUBLE) / {PACK_CTX}) AS BIGINT) AS seq_id,
-           cum_start % {PACK_CTX} AS offset_in_seq
+           CAST(cum_start % {PACK_CTX} AS BIGINT) AS offset_in_seq
     FROM c
     """,
 )

@@ -163,7 +163,11 @@ class CrawlEngine:
                 "frontier_rows": n_frontier,
                 "pending": n_frontier,
                 "robots_rows": n_rules,
-                "robots_complete": True,
+                # only a robots-ON run can vouch coverage; a robots-off
+                # history must NOT skip the bootstrap fetch when the catalog
+                # is later re-opened with robots enabled (hosts discovered
+                # during robots-off epochs have no committed rules)
+                "robots_complete": self.use_robots,
             },
         )
 
@@ -652,7 +656,7 @@ class CrawlEngine:
                 "frontier_rows": frontier_rows,
                 "pending": pending_end,
                 "robots_rows": n_robots_rows,
-                "robots_complete": True,
+                "robots_complete": self.use_robots,
             },
         )
 

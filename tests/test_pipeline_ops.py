@@ -124,6 +124,33 @@ def test_minhash_arrow_matches_native_exprs(spark):
     assert nat.exceptAll(arw).isEmpty() and arw.exceptAll(nat).isEmpty()
 
 
+def test_minhash_band_hashes_match_signature_slices(spark):
+    """The Arrow-computed per-band LSH hashes must be exactly the
+    polynomial hash of the band's signature slice (equal hash ⟺ equal
+    ROWS_PER_BAND-tuple): pin against a pure-python oracle."""
+    rows = dedup.minhash_signatures_banded(
+        dedup._shingle_arrays(spark, SF_TEST)
+    ).collect()
+    assert rows, "fixture must produce signatures"
+    k = dedup._BAND_MULT
+    for r in rows[:50]:
+        sig, bands = r["sig"], r["bands"]
+        assert len(sig) == dedup.N_PERM and len(bands) == dedup.N_BANDS
+        for b in range(dedup.N_BANDS):
+            h = 0
+            for x in sig[b * dedup.ROWS_PER_BAND : (b + 1) * dedup.ROWS_PER_BAND]:
+                h = (h * k + x) % (1 << 64)
+            want = h - (1 << 64) if h >= (1 << 63) else h  # int64 view
+            assert bands[b] == want, (r["doc_id"], b)
+    # and no two distinct slices in the fixture collide on their band hash
+    by_band: dict = {}
+    for r in rows:
+        for b in range(dedup.N_BANDS):
+            key = (b, r["bands"][b])
+            sl = tuple(r["sig"][b * dedup.ROWS_PER_BAND : (b + 1) * dedup.ROWS_PER_BAND])
+            assert by_band.setdefault(key, sl) == sl, "band-hash collision"
+
+
 def _uf_components(edges):
     """Pure-python union-find oracle: {node: component min}."""
     parent = {}
@@ -317,7 +344,7 @@ def test_quantize_int8_roundtrip_error(spark):
         r["vec_id"]: r["embedding"]
         for r in load(spark, SF_TEST, "embeddings").collect()
     }
-    for r in similarity.emb_quantize_int8(spark, SF_TEST).collect():
+    for r in similarity.quantize_int8(load(spark, SF_TEST, "embeddings")).collect():
         emb, scale, qv = orig[r["vec_id"]], r["scale"], r["qvec"]
         assert len(qv) == len(emb)
         for x, qx in zip(emb, qv):

@@ -83,3 +83,34 @@ def test_politeness_never_exceeded(spark, tmp_path):
         k = budget_for_host(r["host"])
         assert r["n"] <= k, f"{r['host']} epoch {r['epoch']}: {r['n']} > {k}"
         assert r["mx"] == r["n"] - 1  # dense 0-based sequence
+
+
+def test_robots_off_history_bootstraps_on_reopen(spark, tmp_path):
+    """A robots-off history must NOT vouch robots coverage: re-opening the
+    catalog with robots enabled has to take the bootstrap fetch for hosts
+    discovered during the robots-off epochs (regression: ``robots_complete``
+    was committed True unconditionally, silently default-allowing them)."""
+    seeds = gen_seed_urls(SMALL)
+    root = str(tmp_path / "r")
+    eng_off = CrawlEngine(spark, root, SMALL, n_filter_parts=4, salt=4, use_robots=False)
+    eng_off.run(1, seeds=seeds)
+    cat = eng_off.catalog
+    assert cat.manifest(cat.last_epoch())["meta"]["robots_complete"] is False
+
+    eng_on = CrawlEngine(spark, root, SMALL, n_filter_parts=4, salt=4, use_robots=True)
+    eng_on.run(2, seeds=seeds, resume=True)
+    cat = eng_on.catalog
+    assert cat.manifest(cat.last_epoch())["meta"]["robots_complete"] is True
+    pending_hosts = {
+        r["host"]
+        for r in cat.read_snapshot("frontier")
+        .where(F.col("status") == "pending")
+        .select("host")
+        .distinct()
+        .collect()
+    }
+    rule_hosts = {
+        r["host"]
+        for r in cat.read_snapshot("robots_rules").select("host").distinct().collect()
+    }
+    assert pending_hosts <= rule_hosts, "bootstrap must cover robots-off-era hosts"

@@ -43,6 +43,22 @@ def main() -> None:
                 runs_hi.append(rec)
     if not runs_lo or not runs_hi:
         raise SystemExit(f"no legs found for cores {n_lo}/{n_hi}")
+    # best_of sizes epochs from runs[0] and zips per-epoch pairs below:
+    # pooled legs from different batches MUST be the same epoch sequence
+    # (same epoch count, same per-epoch pop counts), else the summary
+    # silently misaligns epoch indexes — fail loudly instead.
+    ref = runs_lo[0]
+    for rec in runs_lo + runs_hi:
+        if len(rec["epoch_walls_s"]) != len(ref["epoch_walls_s"]):
+            raise SystemExit(
+                f"pooled legs disagree on epoch count: "
+                f"{len(rec['epoch_walls_s'])} vs {len(ref['epoch_walls_s'])}"
+            )
+        if rec["urls_popped"] != ref["urls_popped"]:
+            raise SystemExit(
+                f"pooled legs disagree on per-epoch pops (different input?): "
+                f"{rec['urls_popped']} vs {ref['urls_popped']}"
+            )
     b_lo, b_hi = best_of(runs_lo), best_of(runs_hi)
     eff_best = [
         round((hi["best"] / lo["best"]) / factor, 3)

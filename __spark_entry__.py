@@ -54,6 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last driver row is r02 — every registered query then has a driver
 # row from r03 or r04.
 _FRONT = (
+    # new round-4 ops (first driver run)
+    "doc_chunk_overlap",
+    "doc_tfidf_topk",
+    "doc_lm_score",
     # r03 red rows, fixed this round (oracle HUGEINT cast; array→string shape)
     "doc_pack_sequences",
     "emb_quantize_int8",

@@ -377,3 +377,190 @@ def doc_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+# ------------------------------------------------------- RAG-style chunking
+CHUNK_W = 64  # chunk width in whitespace tokens
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+
+@q(
+    "doc_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x != '') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    s AS (SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_S})) AS st FROM t)
+    SELECT doc_id,
+           CAST(st // {CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(len(list_slice(w, st + 1, st + {CHUNK_W})) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(w, st + 1, st + {CHUNK_W}), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG / embedding-index prep
+    pass): each document is cut into CHUNK_W-token windows every CHUNK_S
+    tokens, so consecutive chunks share CHUNK_W - CHUNK_S tokens of
+    context and every token is covered.
+
+    Pure native HOFs — ``sequence`` of starts, one ``posexplode``, chunk
+    text via ``slice`` + ``array_join`` — zero Python, and the only data
+    movement is the explode itself (a narrow transform: no shuffle, no
+    window).  Scale shape: a stateless per-row scan whose output is a
+    bounded ~CHUNK_W/CHUNK_S-times expansion of the input, so it runs at
+    scan speed on any corpus size and parallelism."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    ws = F.filter(F.split(F.trim("text"), " +"), lambda x: x != "")
+    starts = F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_S))
+    w = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    chunk = F.slice("ws", F.col("start_tok") + 1, F.lit(CHUNK_W))
+    return w.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ------------------------------------------------------------ TF-IDF top-k
+TFIDF_K = 3  # keywords kept per document
+
+
+@q(
+    "doc_tfidf_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS word
+      FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.word,
+                 round(tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+          FROM tf JOIN df USING (word) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word) AS rk
+          FROM s)
+    SELECT doc_id, word, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= {TFIDF_K}
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (smoothed sklearn-style idf:
+    ln((N+1)/(df+1)) + 1), keeping the TFIDF_K top-scoring terms per doc
+    with a deterministic (score desc, word asc) tie-break on the ROUNDED
+    score so the cut is engine-independent.
+
+    Scale shape: term frequencies are one hash agg on (doc_id, word) with
+    map-side partial aggregation; document frequencies are re-aggregated
+    from the tf pairs (never from raw tokens) and the resulting df dim is
+    vocabulary-sized — millions of rows at web scale, i.e. broadcastable —
+    as is the single-row corpus count.  The only big shuffles are the tf
+    agg and the per-doc top-k window, both partitioned on keys with
+    corpus-proportional cardinality (no skew pole)."""
+    d = load(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        6,
+    )
+    s = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", tfidf.alias("tfidf"))
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        s.withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= TFIDF_K)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
+# ------------------------------------------------- bigram-LM quality score
+def _bigram_array(ws):
+    """array<string> of adjacent-pair bigrams over a word array (native)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+    )
+
+
+@q(
+    "doc_lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS word FROM t),
+    uc AS (SELECT word, count(*) AS c1 FROM w GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uc),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+           FROM t WHERE len(ws) >= 2),
+    bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+    s AS (SELECT bg.doc_id, ln((bc.c2 + 1.0) / (uc.c1 + v.v)) AS lp
+          FROM bg JOIN bc USING (bigram)
+          JOIN uc ON uc.word = string_split(bg.bigram, ' ')[1]
+          CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS lm_score
+    FROM s GROUP BY 1
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score (the KenLM-perplexity-style
+    quality filter, self-trained so no external model is needed): per doc,
+    the mean log-probability of its adjacent word pairs under a
+    Laplace-smoothed bigram model fit on the whole corpus —
+    ln((c(w1 w2) + 1) / (c(w1) + V)).
+
+    Scale shape: the bigram count table is corpus-derived and can exceed
+    memory at web scale, so docs join it with a plain shuffle hash join on
+    the bigram key (corpus-proportional cardinality, no skew pole); the
+    unigram table is vocabulary-sized and broadcast, as is the single-row
+    vocab count.  Per-doc scoring is then one partial-aggregated hash agg
+    on doc_id.  Everything is native functions — zero Python."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
+    )
+    w = t.select("doc_id", F.explode("ws").alias("word"))
+    uc = w.groupBy("word").agg(F.count("*").alias("c1"))
+    v = uc.select(F.count("*").alias("v"))
+    bg = t.where(F.size("ws") >= 2).select(
+        "doc_id", F.explode(_bigram_array(F.col("ws"))).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    lp = F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v").cast("double"))
+    )
+    s = (
+        bg.join(bc, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(F.broadcast(uc.withColumnRenamed("word", "w1")), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("lm_score"),
+    )

@@ -352,3 +352,101 @@ def test_quantize_int8_roundtrip_error(spark):
             # scale is reported rounded to 6dp while qvec used the exact
             # scale: allow |q| * 5e-7 of rounding slop on top of half-step
             assert abs(qx * scale - x) <= scale * 0.51 + 127 * 5e-7
+
+
+# ------------------------------------------------- round-4 text pipeline ops
+def _doc_words(spark):
+    from analytics.common import load
+
+    return {
+        r["doc_id"]: [w for w in r["text"].strip().split() if w]
+        for r in load(spark, SF_TEST, "documents").collect()
+        if r["text"].strip()
+    }
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark):
+    """Every token is covered, starts are stride-multiples, widths are
+    capped at CHUNK_W, and stitching chunk prefixes [0, CHUNK_S) plus the
+    last chunk's tail reconstructs the document exactly."""
+    from analytics import text as T
+
+    docs = _doc_words(spark)
+    rows = {}
+    for r in T.doc_chunk_overlap(spark, SF_TEST).collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    assert set(rows) == set(docs)
+    for did, chunks in rows.items():
+        words = docs[did]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        rebuilt = []
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i and c["start_tok"] == i * T.CHUNK_S
+            toks = c["chunk_text"].split(" ") if c["chunk_text"] else []
+            assert toks == words[c["start_tok"] : c["start_tok"] + T.CHUNK_W]
+            assert c["n_chunk_tokens"] == len(toks) <= T.CHUNK_W
+            rebuilt.extend(toks if i == len(chunks) - 1 else toks[: T.CHUNK_S])
+        assert rebuilt == words, did
+
+
+def test_tfidf_topk_matches_python_oracle(spark):
+    """Exact TF-IDF against a collections.Counter reimplementation."""
+    import math
+    from collections import Counter
+
+    from analytics import text as T
+
+    docs = {
+        did: ws for did, ws in _doc_words(spark).items()
+    }  # empty docs contribute no terms but DO count toward N in both impls
+    from analytics.common import load
+
+    n_docs = load(spark, SF_TEST, "documents").count()
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+    want = {}
+    for did, ws in docs.items():
+        tf = Counter(ws)
+        scored = sorted(
+            (
+                (round(c * (math.log((n_docs + 1.0) / (df[w] + 1.0)) + 1.0), 6), w)
+                for w, c in tf.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (score, w) in enumerate(scored[: T.TFIDF_K], start=1):
+            want[(did, w)] = (score, rk)
+    got = {
+        (r["doc_id"], r["word"]): (r["tfidf"], r["rk"])
+        for r in T.doc_tfidf_topk(spark, SF_TEST).collect()
+    }
+    assert got == want
+
+
+def test_lm_score_matches_python_oracle(spark):
+    """Laplace bigram-LM mean log-prob against a pure-python model."""
+    import math
+    from collections import Counter
+
+    from analytics import text as T
+
+    docs = _doc_words(spark)
+    uni, bi = Counter(), Counter()
+    for ws in docs.values():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in T.doc_lm_score(spark, SF_TEST).collect()
+    }
+    for did, ws in docs.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert did not in got
+            continue
+        lp = [math.log((bi[p] + 1.0) / (uni[p[0]] + V)) for p in pairs]
+        n, score = got[did]
+        assert n == len(pairs)
+        assert abs(score - round(sum(lp) / len(lp), 4)) <= 1e-4, did

@@ -39,6 +39,9 @@ HEADLINE = (
     # round-3 pipeline additions: broadcast decontamination join + packing window
     "doc_decontaminate",
     "doc_pack_sequences",
+    # round-4 pipeline additions: corpus-joined bigram LM + TF-IDF window top-k
+    "doc_lm_score",
+    "doc_tfidf_topk",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -27,6 +27,7 @@ if _REPO not in sys.path:
 from analytics import (  # noqa: E402
     crawl_queries,
     dedup,
+    graph,
     multimodal,
     pipeline,
     relational,
@@ -36,7 +37,7 @@ from analytics import (  # noqa: E402
     udfs,
 )
 
-_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs, pipeline)
+_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs, pipeline, graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # row from r03 or r04.
 _FRONT = (
     # new round-4 ops (first driver run)
+    "link_pagerank",
+    "doc_pii_scrub",
+    "doc_quality_buckets",
     "doc_chunk_overlap",
     "doc_tfidf_topk",
     "doc_lm_score",

@@ -1,0 +1,134 @@
+"""Link-graph analytics for the crawl corpus — iterative PageRank.
+
+PageRank is THE canonical web-graph operator a crawl analytics engine is
+expected to carry (SURVEY.md §2 names link analysis as the downstream
+consumer of the outlink table).  The implementation is the pure DataFrame
+power-iteration: per round, one shuffle-on-key aggregation of
+``rank/out_degree`` contributions plus a left join back to the node set —
+no RDDs, no driver-side state, no collect.
+
+Scale shape (the 100 TB question): the edge table shuffles once per
+round on ``dst`` (partial aggregation combines map-side, so the shuffle
+carries one row per (partition, dst), not per edge); the node set joins
+by key on the same partitioning.  ``localCheckpoint`` per round truncates
+the lineage so the Catalyst plan stays O(1) per iteration instead of
+growing O(rounds) (same device as analytics/dedup.py's connected
+components).  At a 10^10-node web graph this is the textbook Pregel-free
+PageRank — each round is one co-partitioned join + agg, embarrassingly
+scalable, dominated by the edge shuffle that AQE skew-splits on hub
+pages.
+
+The DuckDB oracle unrolls the fixed iteration count into chained CTEs —
+identical damping arithmetic per round — so the op is fully value-hash
+checked, not rows-only (iterative ≠ un-oracle-able when the trip count
+is static).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics.common import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Deterministic synthetic link graph over the fixture tables: lineitem's
+# (part, supplier) incidence folded onto 400 nodes — ~31k distinct directed
+# edges at sf0.01, every node reachable.  Damping 0.85, 4 power iterations
+# (static trip count so the oracle can unroll).
+N_NODES = 400
+DAMPING = 0.85
+N_ITER = 4
+
+_EDGES_SQL = f"""
+  edges AS (SELECT DISTINCT l_partkey % {N_NODES} AS src,
+                            l_suppkey % {N_NODES} AS dst
+            FROM lineitem
+            WHERE l_partkey % {N_NODES} != l_suppkey % {N_NODES}),
+  outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+  nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+  pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)
+"""
+
+
+def _iter_sql(i: int) -> str:
+    return f"""
+  pr{i} AS (SELECT n.node,
+                   CAST(1.0 - {DAMPING} AS DOUBLE)
+                   + CAST({DAMPING} AS DOUBLE)
+                     * coalesce(sum(p.pr / o.deg), 0) AS pr
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN outdeg o ON o.src = e.src
+            LEFT JOIN pr{i - 1} p ON p.node = e.src
+            GROUP BY n.node)
+"""
+
+
+@q(
+    "link_pagerank",
+    "WITH "
+    + ",".join([_EDGES_SQL] + [_iter_sql(i) for i in range(1, N_ITER + 1)])
+    + f"""
+    SELECT node, round(pr, 4) AS pr FROM pr{N_ITER}
+    """,
+)
+def link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the deterministic lineitem link graph: 4 power
+    iterations, damping 0.85, PR' = (1-d) + d * Σ PR(u)/deg(u)."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        # edges + outdeg feed every round: checkpoint once so 4 rounds of
+        # plans reference a materialized table, not 4 re-derivations of
+        # the distinct (which would re-shuffle the scan per round)
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(N_ITER):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - DAMPING)
+                    + F.lit(DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            # per-round lineage cut: keeps every round's physical plan the
+            # SAME two-stage shape instead of a 4x-nested re-expansion
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("pr", 4).alias("pr"))

@@ -564,3 +564,106 @@ def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("lm_score"),
     )
+
+
+# --- PII scrubbing -----------------------------------------------------
+# The synthetic corpus carries no organic PII, so the op appends a
+# deterministic, doc_id-derived contact line to every document before
+# scrubbing — both engines build the identical augmented text, and the
+# regex path is exercised on every row instead of zero.  Patterns stay in
+# the Java∩RE2 common dialect (character classes + bounded quantifiers,
+# no alternation whose leftmost-first vs leftmost-longest semantics could
+# diverge between Spark's Java regex and DuckDB's RE2).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@q(
+    "doc_pii_scrub",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+    FROM a
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (the pre-training compliance scrub): count and mask
+    email addresses and phone numbers with native regexp functions.
+
+    Scale shape: stateless per-row regexp inside WholeStageCodegen — zero
+    shuffles, zero Python, linear in input splits.  The scrubbed text is
+    hashed (not returned) so the driver compares full-content equality
+    without shipping megabyte rows."""
+    d = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    a = d.select("doc_id", aug.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return a.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+@q(
+    "doc_quality_buckets",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN {_SW_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, lang,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY score DESC, doc_id) AS INT) AS bucket
+    FROM s
+    """,
+)
+def doc_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, rank documents by a
+    fluency proxy (stopword ratio — natural prose has more function
+    words) and ntile into head/middle/tail terciles; curation pipelines
+    keep head+middle and drop tail.
+
+    Scale shape: one shuffle on lang (the window partition key); the
+    per-partition sort is the same O(n log n) a real CCNet shard pass
+    does.  Ties broken by doc_id so the bucket assignment is a total
+    order — deterministic under any partitioning."""
+    d = load(spark, sf, "documents").where(F.length("text") > 0)
+    words = F.split("text", " ")
+    score = (
+        F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+        / F.size(words)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", score.alias("score"))
+        .select("doc_id", "lang", F.ntile(3).over(w).cast("int").alias("bucket"))
+    )

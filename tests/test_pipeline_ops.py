@@ -450,3 +450,109 @@ def test_lm_score_matches_python_oracle(spark):
         n, score = got[did]
         assert n == len(pairs)
         assert abs(score - round(sum(lp) / len(lp), 4)) <= 1e-4, did
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """4-round damped PageRank against a dict-based power iteration."""
+    from collections import defaultdict
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (F.col("l_suppkey") % G.N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    edges = [(r["src"], r["dst"]) for r in rows]
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(G.N_ITER):
+        contrib = defaultdict(float)
+        for s, ds in out.items():
+            share = pr[s] / len(ds)
+            for d in ds:
+                contrib[d] += share
+        pr = {n: (1 - G.DAMPING) + G.DAMPING * contrib[n] for n in nodes}
+    got = {r["node"]: r["pr"] for r in G.link_pagerank(spark, SF_TEST).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - pr[n]) < 1e-3, (n, got[n], pr[n])
+    # a mass sanity: total rank stays near |V| (dangling loss only)
+    assert sum(got.values()) <= len(nodes) + 1e-6
+
+
+def test_pii_scrub_masks_everything(spark):
+    """After the scrub no email/phone pattern survives, and the counts
+    reflect the injected contact line (>= 1 of each per doc)."""
+    import re
+
+    from analytics import text as T
+    from analytics.common import load
+
+    d = load(spark, SF_TEST, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(T._EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(T._PHONE_RE),
+            F.lit("<PHONE>"),
+        ).alias("s"),
+    ).collect()
+    email, phone = re.compile(T._EMAIL_RE), re.compile(T._PHONE_RE)
+    for r in scrubbed:
+        assert not email.search(r["s"]), r["doc_id"]
+        assert not phone.search(r["s"]), r["doc_id"]
+        assert "<EMAIL>" in r["s"] and "<PHONE>" in r["s"]
+    counts = T.doc_pii_scrub(spark, SF_TEST).collect()
+    assert all(r["n_emails"] >= 1 and r["n_phones"] >= 1 for r in counts)
+
+
+def test_quality_buckets_balanced_and_ordered(spark):
+    """ntile terciles: sizes differ by <= 1 within each lang, and every
+    head doc scores >= every tail doc of the same lang."""
+    from collections import Counter, defaultdict
+
+    from analytics import text as T
+    from analytics.common import load
+
+    got = T.doc_quality_buckets(spark, SF_TEST).collect()
+    sizes = Counter((r["lang"], r["bucket"]) for r in got)
+    langs = {lang for lang, _ in sizes}
+    for lang in langs:
+        per = [sizes[(lang, b)] for b in (1, 2, 3) if (lang, b) in sizes]
+        assert max(per) - min(per) <= 1, (lang, per)
+    # score each doc independently and check bucket-order consistency
+    d = load(spark, SF_TEST, "documents").where(F.length("text") > 0)
+    words = F.split("text", " ")
+    score = (
+        F.size(F.filter(words, lambda w: w.isin(*T._STOPWORDS))).cast("double")
+        / F.size(words)
+    )
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in d.select("doc_id", score.alias("s")).collect()
+    }
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in got:
+        by_lang[r["lang"]][r["bucket"]].append(scores[r["doc_id"]])
+    for lang, buckets in by_lang.items():
+        if 1 in buckets and 3 in buckets:
+            assert min(buckets[1]) >= max(buckets[3]), lang

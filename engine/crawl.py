@@ -29,7 +29,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine import seen as seenmod
@@ -309,6 +309,13 @@ class CrawlEngine:
             "url",
             "url_hash",
         )
+        # the pool opens BEFORE the fetch write so the (cheap) crawl_log
+        # write overlaps it: both consume the popped cache, whose block
+        # locks make the first job compute each partition and the other
+        # reuse it — one fewer job serialized into the epoch tail
+        pool = ThreadPoolExecutor(max_workers=10)
+        crawl_log_path = cat.stage_path(epoch, "crawl_log")
+        fut_crawl_log = pool.submit(_timed("crawl_log", self._write, crawl_log, crawl_log_path))
 
         # --- F6/X1/X2 ---
         # Materialize the fetch output ONCE as a staged parquet table
@@ -352,7 +359,6 @@ class CrawlEngine:
         # epochs.  Atomicity is untouched: nothing is visible until the
         # manifest rename below, and a failure in ANY job aborts the epoch
         # before commit (futures re-raise at the gather).
-        pool = ThreadPoolExecutor(max_workers=10)
         # fetch metrics + popped host_bucket set: one job over slim int
         # columns of the staged parquet (spans never deserialized)
         fut_fetch_stats = pool.submit(_timed(
@@ -373,8 +379,6 @@ class CrawlEngine:
                 F.count("*").alias("n"), F.collect_set("host_bucket").alias("bks")
             ).collect()[0],
         ))
-        crawl_log_path = cat.stage_path(epoch, "crawl_log")
-        fut_crawl_log = pool.submit(_timed("crawl_log", self._write, crawl_log, crawl_log_path))
 
         # --- D1/D2 ---
         cands = extract_candidates(
@@ -405,19 +409,19 @@ class CrawlEngine:
                 .drop("_seen")
                 .persist()
             )
-        # candidate + insert counts: one job over the flagged cache.  The
-        # concurrent flagged-consumers below share its materialization
-        # (Spark's cache block locks: first job computes each partition,
-        # the rest reuse it).
-        fut_ins_stats = pool.submit(_timed(
-            "ins_stats",
-            lambda: flagged.agg(
-                F.count("*").alias("n_cands"),
-                F.count(F.when(F.col("is_new"), 1)).alias("n"),
-            ).collect()[0],
-        ))
+        # candidate + insert counts ride the insert write as observation
+        # metrics (CollectMetrics above the is_new filter) instead of a
+        # dedicated agg job — one fewer full pass over the flagged cache
+        # in the epoch tail.  ``Observation.get`` is resolved at the
+        # gather, after the write job (or the seen-filter update, which
+        # executes the same subtree) has fired it.
+        ins_obs = Observation(f"ins_stats_e{epoch}")
         cols = [f.name for f in FRONTIER.fields]
-        inserts = flagged.where("is_new").select(
+        inserts = flagged.observe(
+            ins_obs,
+            F.count(F.lit(1)).alias("n_cands"),
+            F.count(F.when(F.col("is_new"), 1)).alias("n"),
+        ).where("is_new").select(
             "url_hash",
             "url",
             "host",
@@ -484,14 +488,36 @@ class CrawlEngine:
         fut_robots = pool.submit(_timed("robots_delta", robots_delta))
 
         # --- L1 lineage ---
+        # Audits the COMMITTED layout: per-stage row counts are taken from
+        # the staged parquet each stage wrote (column-less count scans —
+        # parquet metadata, not data pages) instead of re-scanning the
+        # popped/flagged caches.  This removes two full cache passes from
+        # the tail; the job waits on the two writes it audits, both of
+        # which it overlaps with the merge/seen/robots work.
         in_snap, out_snap = f"epoch={epoch - 1}", f"epoch={epoch}"
-        lineage = (
-            partition_lineage(popped, epoch, "pop", in_snap, out_snap)
-            .unionByName(partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap))
-            .unionByName(partition_lineage(inserts, epoch, "dedup_insert", in_snap, out_snap))
-        )
         lineage_path = cat.stage_path(epoch, "lineage")
-        fut_lineage = pool.submit(_timed("lineage", self._write, lineage.coalesce(1), lineage_path))
+
+        def write_lineage() -> None:
+            fut_crawl_log.result()
+            cell_paths = list(fut_insert_cells.result().values())
+            lineage = partition_lineage(
+                spark.read.parquet(crawl_log_path), epoch, "pop", in_snap, out_snap
+            ).unionByName(
+                partition_lineage(fetched, epoch, "fetch_parse", in_snap, out_snap)
+            )
+            if cell_paths:
+                lineage = lineage.unionByName(
+                    partition_lineage(
+                        spark.read.schema(FRONTIER).parquet(*cell_paths),
+                        epoch,
+                        "dedup_insert",
+                        in_snap,
+                        out_snap,
+                    )
+                )
+            self._write(lineage.coalesce(1), lineage_path)
+
+        fut_lineage = pool.submit(_timed("lineage", write_lineage))
 
         # --- F7 merge of TOUCHED pending cells (cell-granular, O(delta)) ---
         # Only cells holding popped/disallowed rows are rewritten; rows
@@ -558,9 +584,9 @@ class CrawlEngine:
         try:
             stats = fut_fetch_stats.result()
             dis_stats = fut_dis.result()
-            ins_stats = fut_ins_stats.result()
             base_parts, merged_cells, carry_cells = fut_merged.result()
             insert_cells = fut_insert_cells.result()
+            ins_stats = ins_obs.get  # fired by the insert_cells write job
             fut_crawl_log.result()
             fut_lineage.result()
             n_robots_rows, new_robots_paths = fut_robots.result()

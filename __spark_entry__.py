@@ -69,6 +69,12 @@ _FRONT = (
     "emb_cosine_pairs",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    # plans changed in r04 (struct-packed minhash signatures + in-Arrow
+    # band hashes; shared shingle builder; blocked-GEMM spread) after
+    # their last driver row
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "emb_cosine_pairs_blocked",
     # last driver row r02
     "t2_topk_limit",
     "t3_group_topk",

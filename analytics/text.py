@@ -652,18 +652,56 @@ def doc_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     words) and ntile into head/middle/tail terciles; curation pipelines
     keep head+middle and drop tail.
 
-    Scale shape: one shuffle on lang (the window partition key); the
-    per-partition sort is the same O(n log n) a real CCNet shard pass
-    does.  Ties broken by doc_id so the bucket assignment is a total
-    order — deterministic under any partitioning."""
+    Scale shape — a distributed EXACT ntile, not ``F.ntile`` over a
+    per-lang window (which collapses each language into ONE task: at a
+    10^10-doc corpus with a handful of languages that is a single-machine
+    sort, the canonical skew pole).  Instead: (1) aggregate to a
+    per-(lang, score) histogram — the score is a ratio of two small ints,
+    so distinct values are bounded by the vocabulary of (stopwords,
+    n_words) pairs (~10^6), metadata-sized at any corpus scale; (2) a
+    window over that TINY table yields each score's cumulative rank
+    offset and per-lang total; (3) broadcast-join the offsets back and
+    resolve ties inside fine-grained (lang, score) windows — millions of
+    small partitions, no pole.  The SQL-standard ntile arithmetic (first
+    n%k buckets get one extra row) reproduces ``F.ntile`` bit-for-bit —
+    pinned by tests — and the DuckDB oracle keeps the plain ntile form."""
     d = load(spark, sf, "documents").where(F.length("text") > 0)
     words = F.split("text", " ")
     score = (
         F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
         / F.size(words)
     )
-    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    scored = d.select("doc_id", "lang", score.alias("score"))
+    hist = scored.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("lang")
+    offsets = hist.select(
+        "lang",
+        "score",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("before"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    wtie = Window.partitionBy("lang", "score").orderBy("doc_id")
+    r = F.col("before") + F.row_number().over(wtie)  # 1-based rank in lang
+
+    def ceil_div(a, b):
+        # integer-exact ceil(a/b): double ceil(a/b) mis-rounds once ranks
+        # pass ~2^19 denominators; (a+b-1) - (a+b-1)%b is divisible by b,
+        # so the one double division is exact for any long inputs
+        t = a + b - F.lit(1)
+        return ((t - t % b) / b).cast("long")
+
+    k = F.lit(3)
+    q, rem = F.floor(F.col("n") / k), F.col("n") % k
+    head = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bucket = F.when(r <= head, ceil_div(r, q + 1)).otherwise(
+        rem + ceil_div(r - head, F.greatest(q, F.lit(1)))
+    )
     return (
-        d.select("doc_id", "lang", score.alias("score"))
-        .select("doc_id", "lang", F.ntile(3).over(w).cast("int").alias("bucket"))
+        scored.join(F.broadcast(offsets), ["lang", "score"])
+        .select("doc_id", "lang", bucket.cast("int").alias("bucket"))
     )

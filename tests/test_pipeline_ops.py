@@ -556,3 +556,31 @@ def test_quality_buckets_balanced_and_ordered(spark):
     for lang, buckets in by_lang.items():
         if 1 in buckets and 3 in buckets:
             assert min(buckets[1]) >= max(buckets[3]), lang
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """The histogram+offset ntile must reproduce F.ntile over a per-lang
+    window exactly, including tie splits at bucket boundaries."""
+    from pyspark.sql import Window
+
+    from analytics import text as T
+    from analytics.common import load
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in T.doc_quality_buckets(spark, SF_TEST).collect()
+    }
+    d = load(spark, SF_TEST, "documents").where(F.length("text") > 0)
+    words = F.split("text", " ")
+    score = (
+        F.size(F.filter(words, lambda w: w.isin(*T._STOPWORDS))).cast("double")
+        / F.size(words)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    want = {
+        r["doc_id"]: r["b"]
+        for r in d.select("doc_id", "lang", score.alias("score"))
+        .select("doc_id", F.ntile(3).over(w).alias("b"))
+        .collect()
+    }
+    assert got == want

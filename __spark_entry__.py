@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # row from r03 or r04.
 _FRONT = (
     # new round-4 ops (first driver run)
+    "dedup_semantic",
     "link_pagerank",
     "doc_pii_scrub",
     "doc_quality_buckets",

@@ -437,3 +437,84 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         "scale",
         F.array_join(F.transform("qvec", lambda v: v.cast("string")), ",").alias("qvec"),
     )
+
+
+SEMDEDUP_T = 0.35
+
+
+@q(
+    "dedup_semantic",
+    f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
+                   FROM embeddings ORDER BY vec_id LIMIT {N_LISTS}),
+    scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      list_cosine_similarity(e.embedding::DOUBLE[],
+                                             c.cent::DOUBLE[]) AS cs
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, embedding, cent_id AS list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cs DESC, cent_id) AS rk
+                 FROM scored) WHERE rk = 1),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM assign a JOIN assign b
+                  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      >= {SEMDEDUP_T})
+    SELECT s.vec_id, s.list_id
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF coarse
+    quantizer, then remove near-duplicates WITHIN each cluster — pairwise
+    cosine is computed only against same-cluster members, never corpus-wide.
+    Keeps the lowest vec_id of each near-dup group (drop v2 whenever some
+    same-cluster v1 < v2 has cos >= T).
+
+    Scale shape: assignment is a broadcast-centroid scan + key-unique
+    argmax (same as ``ann_ivf``); the pair stage shuffles once on list_id
+    and is O(Σ cluster²) — in production the list count grows with the
+    corpus so cluster sizes stay bounded, which is exactly the SemDeDup
+    paper's cost model (k ∝ n keeps within-cluster pairs linear).  The
+    survivor anti-join reuses the url-dedup D2 pattern.  Threshold 0.35
+    suits this isotropic synthetic corpus (real embedding spaces use
+    ~0.95); the centroid set (lowest-{N_LISTS} vec_ids) is deterministic
+    across engines and cluster sizes."""
+    e = load_spread(spark, sf, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_LISTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
+        ).alias("list_id"),
+        F.first("embedding").alias("emb"),
+    )
+    a = assign.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("v1"),
+        F.col("emb").alias("e1"),
+    )
+    b = assign.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("v2"),
+        F.col("emb").alias("e2"),
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("v1") < F.col("v2"))
+        .where(cosine(F.col("e1"), F.col("e2")) >= F.lit(SEMDEDUP_T))
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "list_id")

@@ -42,6 +42,9 @@ HEADLINE = (
     # round-4 pipeline additions: corpus-joined bigram LM + TF-IDF window top-k
     "doc_lm_score",
     "doc_tfidf_topk",
+    # round-4b: iterative link analysis + native-regexp PII scrub
+    "link_pagerank",
+    "doc_pii_scrub",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -584,3 +584,30 @@ def test_distributed_ntile_equals_window_ntile(spark):
         .collect()
     }
     assert got == want
+
+
+def test_semdedup_survivors_are_pairwise_dissimilar(spark):
+    """No two SURVIVING same-cluster vectors may be >= T similar (else the
+    higher vec_id should have been dropped), and at least one vector
+    survives per non-empty cluster (the lowest id is never dropped)."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    surv = S.dedup_semantic(spark, SF_TEST).collect()
+    embs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, SF_TEST, "embeddings").collect()
+    }
+    by_cluster: dict = {}
+    for r in surv:
+        by_cluster.setdefault(r["list_id"], []).append(r["vec_id"])
+    assert by_cluster, "no survivors at all"
+    for vids in by_cluster.values():
+        vids = sorted(vids)
+        for i, v1 in enumerate(vids):
+            a = embs[v1] / np.linalg.norm(embs[v1])
+            for v2 in vids[i + 1 :]:
+                b = embs[v2] / np.linalg.norm(embs[v2])
+                assert float(a @ b) < S.SEMDEDUP_T + 1e-9, (v1, v2)

@@ -56,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # row from r03 or r04.
 _FRONT = (
     # new round-4 ops (first driver run)
+    "doc_gopher_filter",
+    "dup_ngram_spans",
+    "media_interleave_stats",
     "dedup_semantic",
     "link_pagerank",
     "doc_pii_scrub",

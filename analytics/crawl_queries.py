@@ -315,6 +315,51 @@ def synth_fetch_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("media_interleave_stats")
+def media_interleave_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved-payload structure stats over the fetched span arrays
+    (rows-only: spans come from the deterministic synthetic fetcher, so
+    DuckDB has no twin; per-field exactness vs the pure-python
+    ``pyref``/synthgraph generator is pinned by tests/test_pipeline_ops.py).
+
+    Per ok document: span counts by kind, kind transitions, first kind,
+    total text payload length, and the media share — the profile a
+    multimodal training pipeline reads before deciding per-modality
+    routing.  Everything is native array HOFs over the already-fetched
+    spans column: a stateless per-row scan, zero shuffles, no Python, so
+    it rides the document scan at any corpus scale."""
+    frontier = seeds_to_frontier(spark, gen_seed_urls(TINY), n_buckets=64)
+    fetched = fetch_parse(frontier, TINY).where("ok")
+    kinds = F.col("spans").getField("kind")
+    n = F.size("spans")
+    transitions = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(kinds, F.lit(1), n - 1),
+                F.slice(kinds, F.lit(2), n - 1),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    text_len = F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s.getField("text")), F.lit(0)),
+    )
+    n_media = F.size(F.filter(kinds, lambda k: k == F.lit("media")))
+    return fetched.select(
+        "url",
+        n.cast("long").alias("n_spans"),
+        (n - n_media).cast("long").alias("n_text_spans"),
+        n_media.cast("long").alias("n_media_spans"),
+        transitions.cast("long").alias("n_transitions"),
+        F.element_at(kinds, 1).alias("first_kind"),
+        text_len.alias("total_text_len"),
+        F.round(n_media.cast("double") / n, 4).alias("media_ratio"),
+    )
+
+
 @q("bloom_probe")
 def bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
     """D1 (rows-only): partitioned bloom build + cogrouped vectorized probe.

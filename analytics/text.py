@@ -705,3 +705,160 @@ def doc_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
         scored.join(F.broadcast(offsets), ["lang", "score"])
         .select("doc_id", "lang", bucket.cast("int").alias("bucket"))
     )
+
+
+# --- Gopher-style rule filter ------------------------------------------
+# The Gopher corpus-filter rule family (word-count bounds, mean-word-length
+# band, non-alphabetic-word share, stopword presence), thresholds sized to
+# the fixture corpus (10-99-word docs) so the pass flag splits the corpus
+# instead of degenerating to all-true; production swaps the constants, not
+# the plan.  Stopword presence counts DISTINCT stopwords by filtering the
+# tiny stopword list against the doc's word set — identical dedup
+# semantics on both engines (array_intersect/list_intersect dedup rules
+# differ, so neither is used).
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 100_000
+_G_MWL_LO, _G_MWL_HI = 3.0, 10.0
+_G_MAX_NOALPHA = 0.2
+_G_MIN_STOPS = 2
+_SW_LIST_SQL = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@q(
+    "doc_gopher_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x != '') AS ws
+      FROM documents WHERE length(trim(text)) > 0),
+    f AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               / len(ws) AS mwl,
+             CAST(len(list_filter(ws, x -> NOT regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(ws) AS noalpha,
+             len(list_filter({_SW_LIST_SQL},
+                             s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+               AS stop_hits
+      FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(noalpha, 4) AS noalpha_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                AND mwl BETWEEN {_G_MWL_LO} AND {_G_MWL_HI}
+                AND noalpha <= {_G_MAX_NOALPHA}
+                AND stop_hits >= {_G_MIN_STOPS} AS INT) AS pass_gopher
+    FROM f
+    """,
+)
+def doc_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: word-count bounds, mean word
+    length band, non-alphabetic-word share cap, and minimum distinct
+    stopword presence, folded into one per-doc pass flag.
+
+    Scale shape: a stateless per-row scan of native array HOFs — zero
+    shuffles, zero Python, runs inside WholeStageCodegen at scan speed on
+    any corpus size.  This is the first pass of every curation pipeline
+    (it drops the bulk of raw crawl text before the expensive dedup /
+    LM-scoring stages see it), so staying shuffle-free matters."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    ws = F.filter(F.split(F.trim("text"), " +"), lambda x: x != "")
+    t = d.select("doc_id", ws.alias("ws"))
+    n = F.size("ws").cast("long")
+    mwl = (
+        F.aggregate("ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        .cast("double")
+        / n
+    )
+    noalpha = (
+        F.size(F.filter("ws", lambda w: ~w.rlike("[A-Za-z]"))).cast("double") / n
+    )
+    lower_ws = F.transform("ws", F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(lower_ws, s),
+        )
+    ).cast("long")
+    f = t.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mwl"),
+        noalpha.alias("noalpha"),
+        stop_hits.alias("stop_hits"),
+    )
+    passed = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & F.col("mwl").between(_G_MWL_LO, _G_MWL_HI)
+        & (F.col("noalpha") <= _G_MAX_NOALPHA)
+        & (F.col("stop_hits") >= _G_MIN_STOPS)
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("noalpha", 4).alias("noalpha_ratio"),
+        "stop_hits",
+        passed.cast("int").alias("pass_gopher"),
+    )
+
+
+# --- Exact duplicated-span mining --------------------------------------
+SPAN_K = 8  # span width in whitespace tokens
+
+
+@q(
+    "dup_ngram_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    s AS (
+      SELECT doc_id, array_to_string(list_slice(ws, st + 1, st + {SPAN_K}), ' ')
+               AS span
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {SPAN_K} + 1)) AS st
+            FROM t WHERE len(ws) >= {SPAN_K}))
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-span mining (the substring-dedup primitive of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every SPAN_K-token rolling window, grouped across the
+    corpus; spans appearing in >= 2 distinct documents come back with
+    their document and occurrence counts.
+
+    Scale shape: the rolling-window explode is a narrow transform (no
+    shuffle — each doc expands locally to ~n_words spans); the only
+    shuffle is the span groupBy, which Catalyst plans as the standard
+    two-phase distinct-agg expansion with map-side partial counts.  Span
+    keys are short bounded strings (SPAN_K tokens), so the shuffle rows
+    are small and uniformly hash-distributed — no skew pole short of a
+    single span duplicated corpus-wide, which partial aggregation absorbs
+    map-side.  At 100 TB this is exactly the suffix-free approximation
+    production substring dedup uses (hash-keyed span counting), and the
+    downstream consumer cuts matching spans per doc with a broadcast of
+    the (tiny) high-count span set."""
+    d = load(spark, sf, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= SPAN_K)
+    starts = F.sequence(F.lit(0), F.size("ws") - SPAN_K)
+    s = t.select("doc_id", "ws", F.explode(starts).alias("st")).select(
+        "doc_id",
+        F.array_join(F.slice("ws", F.col("st") + 1, SPAN_K), " ").alias("span"),
+    )
+    return (
+        s.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -611,3 +611,94 @@ def test_semdedup_survivors_are_pairwise_dissimilar(spark):
             for v2 in vids[i + 1 :]:
                 b = embs[v2] / np.linalg.norm(embs[v2])
                 assert float(a @ b) < S.SEMDEDUP_T + 1e-9, (v1, v2)
+
+
+def test_gopher_filter_matches_python(spark):
+    """Feature columns + pass flag vs a direct python recompute."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from analytics import text as T
+    from analytics.common import load
+
+    def r4(x: float) -> float:
+        # Spark/DuckDB round() is HALF_UP; python round() is banker's
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    got = {
+        r["doc_id"]: r.asDict() for r in T.doc_gopher_filter(spark, SF_TEST).collect()
+    }
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for r in docs:
+        ws = [w for w in re.split(" +", r["text"].strip()) if w]
+        if not ws:
+            assert r["doc_id"] not in got
+            continue
+        n_checked += 1
+        g = got[r["doc_id"]]
+        mwl = sum(len(w) for w in ws) / len(ws)
+        noalpha = sum(1 for w in ws if not re.search("[A-Za-z]", w)) / len(ws)
+        stop_hits = sum(1 for s in T._STOPWORDS if s in {w.lower() for w in ws})
+        want_pass = int(
+            T._G_MIN_WORDS <= len(ws) <= T._G_MAX_WORDS
+            and T._G_MWL_LO <= mwl <= T._G_MWL_HI
+            and noalpha <= T._G_MAX_NOALPHA
+            and stop_hits >= T._G_MIN_STOPS
+        )
+        assert g["n_words"] == len(ws)
+        assert abs(g["mean_word_len"] - r4(mwl)) < 1e-9
+        assert abs(g["noalpha_ratio"] - r4(noalpha)) < 1e-9
+        assert g["stop_hits"] == stop_hits
+        assert g["pass_gopher"] == want_pass
+    assert n_checked == len(got)
+    # thresholds must split the corpus, not degenerate to all-true/all-false
+    flags = {g["pass_gopher"] for g in got.values()}
+    assert flags == {0, 1}
+
+
+def test_dup_ngram_spans_matches_python(spark):
+    """Span counts vs a direct Counter recompute."""
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    occ: Counter = Counter()
+    docs_of: dict = {}
+    for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect():
+        ws = [w for w in r["text"].split(" ") if w]
+        for i in range(len(ws) - T.SPAN_K + 1):
+            span = " ".join(ws[i : i + T.SPAN_K])
+            occ[span] += 1
+            docs_of.setdefault(span, set()).add(r["doc_id"])
+    want = {
+        s: (len(d), occ[s], min(d)) for s, d in docs_of.items() if len(d) >= 2
+    }
+    got = {
+        r["span"]: (r["n_docs"], r["n_occ"], r["first_doc"])
+        for r in T.dup_ngram_spans(spark, SF_TEST).collect()
+    }
+    assert got == want
+
+
+def test_interleave_stats_match_pyref(spark):
+    """Every per-document stat vs the pure-python span generator."""
+    from analytics import crawl_queries as CQ
+    from engine.synthgraph import TINY, synth_doc
+
+    rows = CQ.media_interleave_stats(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        spans, _ = synth_doc(r["url"], TINY)
+        kinds = [k for k, _t, _m, _o in spans]
+        n_media = sum(1 for k in kinds if k == "media")
+        trans = sum(1 for a, b in zip(kinds, kinds[1:]) if a != b)
+        text_len = sum(len(t) for _k, t, _m, _o in spans if t is not None)
+        assert r["n_spans"] == len(spans)
+        assert r["n_text_spans"] == len(spans) - n_media
+        assert r["n_media_spans"] == n_media
+        assert r["n_transitions"] == trans
+        assert r["first_kind"] == kinds[0]
+        assert r["total_text_len"] == text_len
+        assert abs(r["media_ratio"] - round(n_media / len(spans), 4)) < 1e-9

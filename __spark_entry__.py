@@ -56,6 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # row from r03 or r04.
 _FRONT = (
     # new round-4 ops (first driver run)
+    "kmeans_train",
+    "url_template_topk",
     "doc_gopher_filter",
     "dup_ngram_spans",
     "media_interleave_stats",

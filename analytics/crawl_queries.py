@@ -315,6 +315,78 @@ def synth_fetch_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "url_template_topk",
+    """
+    WITH u AS (
+      SELECT 'host' || lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0') AS host,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'item/' || CAST(o_orderkey AS VARCHAR) || '/view'
+                  WHEN o_orderkey % 3 = 1
+                  THEN 'page/' || CAST(o_orderkey AS VARCHAR)
+                  ELSE 'cat/' || CAST(o_custkey % 11 AS VARCHAR)
+                       || '/page/' || CAST(o_orderkey AS VARCHAR)
+             END AS path
+      FROM orders),
+    t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM u GROUP BY 1, 2)
+    SELECT host, template, cnt, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY cnt DESC, template) AS rk
+      FROM t) WHERE rk <= 2
+    """,
+)
+def url_template_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """URL path-template mining (crawl-trap / structure detection): paths
+    collapse to templates by digit-run substitution, then per-host top-k
+    templates by frequency.  Real crawlers use exactly this rollup to cap
+    infinite calendar/pagination traps and to pick per-template sampling
+    rates.
+
+    Scale shape: template collapse is a stateless scan; the rollup is one
+    partial-agg groupBy on (host, template) — bounded cardinality — and
+    the top-k window partitions per host (millions of small partitions,
+    no pole).  Deterministic synthetic paths derived from ``orders`` so
+    the DuckDB twin value-hashes the full result."""
+    o = load(spark, sf, "orders")
+    path = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("item/"), F.col("o_orderkey").cast("string"), F.lit("/view")),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("page/"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cat/"),
+                (F.col("o_custkey") % 11).cast("string"),
+                F.lit("/page/"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+    )
+    host = F.concat(
+        F.lit("host"), F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")
+    )
+    t = (
+        o.select(host.alias("host"), path.alias("path"))
+        .select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("cnt").desc(), "template")
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("host", "template", "cnt", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 @q("media_interleave_stats")
 def media_interleave_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Interleaved-payload structure stats over the fetched span arrays

@@ -439,6 +439,141 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- k-means coarse-quantizer training ---------------------------------
+KM_K = 8
+KM_ITER = 3
+_KM_R = 6  # per-iteration centroid rounding (decimals): pins the two
+# engines' floating-point means to one grid so iteration i+1 starts from
+# bit-identical centroids on both sides
+
+
+def _km_iter_sql(i: int) -> str:
+    return f"""
+  d{i} AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           j -> (e.embedding[j]::DOUBLE - c.cent[j]) ^ 2)) AS dist
+           FROM embeddings e, c{i - 1} c),
+  a{i} AS (SELECT vec_id, embedding, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+             FROM d{i}) WHERE rn = 1),
+  m{i} AS (SELECT cid, j, round(avg(embedding[j]::DOUBLE), {_KM_R}) AS x
+           FROM a{i}, unnest(range(1, len(embedding) + 1)) t(j)
+           GROUP BY cid, j),
+  n{i} AS (SELECT cid, list(x ORDER BY j) AS cent FROM m{i} GROUP BY cid),
+  c{i} AS (SELECT p.cid, coalesce(n.cent, p.cent) AS cent
+           FROM c{i - 1} p LEFT JOIN n{i} n ON p.cid = n.cid)
+"""
+
+
+@q(
+    "kmeans_train",
+    f"""
+    WITH c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> round(x::DOUBLE, {_KM_R})) AS cent
+      FROM embeddings ORDER BY vec_id LIMIT {KM_K}),
+    {",".join(_km_iter_sql(i) for i in range(1, KM_ITER + 1))},
+    df AS (SELECT e.vec_id, c.cid,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           j -> (e.embedding[j]::DOUBLE - c.cent[j]) ^ 2)) AS dist
+           FROM embeddings e, c{KM_ITER} c),
+    af AS (SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+             FROM df) WHERE rn = 1),
+    cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM af GROUP BY cid)
+    SELECT c.cid, t.j - 1 AS dim_idx, c.cent[t.j] AS val, cnt.n_members
+    FROM c{KM_ITER} c
+    JOIN cnt ON c.cid = cnt.cid,
+    unnest(range(1, len(c.cent) + 1)) t(j)
+    """,
+)
+def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the training job that
+    produces the IVF/SemDeDup coarse quantizer (``ann_ivf`` /
+    ``dedup_semantic`` consume exactly this kind of centroid table).
+    Deterministic init (the KM_K lowest-vec_id vectors), KM_ITER
+    assign+recenter rounds, squared-L2 assignment with a lowest-cid
+    tie-break, empty clusters keep their previous centroid.
+
+    Scale shape: per round, ONE broadcast of the K×dim centroid table
+    (KB-sized however big the corpus), one narrow scan computing the
+    argmin per vector (key-unique groupBy — no skew), and one
+    (cid, dim) mean aggregation whose partial aggregates combine
+    map-side; ``localCheckpoint`` per round cuts the lineage so the plan
+    stays O(1) per iteration (same device as PageRank / connected
+    components).  The DuckDB oracle unrolls the fixed trip count into
+    chained CTEs; per-iteration centroid rounding to {_KM_R} decimals on
+    BOTH engines pins the floating-point means to a shared grid so the
+    value hash compares bit-equal centroids, not ulp noise.  Output is
+    (cid, dim_idx, val, n_members) rows — scalars, driver-sortable (the
+    emb_quantize_int8 list-column lesson)."""
+    e = load_spread(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: F.round(x.cast("double"), _KM_R)).alias(
+                "cent"
+            ),
+        )
+    )
+
+    def assign_to(c: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cent",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            e.crossJoin(F.broadcast(c))
+            .select("vec_id", "embedding", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cid", "embedding"), F.struct("dist", "cid")).alias(
+                    "s"
+                )
+            )
+            .select(
+                "vec_id",
+                F.col("s.cid").alias("cid"),
+                F.col("s.embedding").alias("embedding"),
+            )
+        )
+
+    for _ in range(KM_ITER):
+        assign = assign_to(cents)
+        newc = (
+            assign.select("cid", F.posexplode("embedding").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.round(F.avg(F.col("x").cast("double")), _KM_R).alias("x"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "x"))), lambda s: s.x
+                ).alias("cent")
+            )
+        )
+        cents = (
+            cents.withColumnRenamed("cent", "prev")
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("cent", "prev").alias("cent"))
+            .localCheckpoint()
+        )
+    counts = assign_to(cents).groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        cents.join(F.broadcast(counts), "cid")
+        .select("cid", "n_members", F.posexplode("cent").alias("dim_idx", "val"))
+        .select("cid", F.col("dim_idx").cast("long").alias("dim_idx"), "val", "n_members")
+    )
+
+
 SEMDEDUP_T = 0.35
 
 

@@ -702,3 +702,44 @@ def test_interleave_stats_match_pyref(spark):
         assert r["first_kind"] == kinds[0]
         assert r["total_text_len"] == text_len
         assert abs(r["media_ratio"] - round(n_media / len(spans), 4)) < 1e-9
+
+
+def test_kmeans_train_matches_numpy_lloyd(spark):
+    """Centroids + member counts vs a pure-numpy Lloyd's with the identical
+    init, tie-break, rounding grid, and empty-cluster rule."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = np.round(X[: S.KM_K], S._KM_R)
+
+    def assign(c):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # lowest-cid tie-break = argmin's first-match rule
+        return d.argmin(axis=1)
+
+    for _ in range(S.KM_ITER):
+        a = assign(cents)
+        new = cents.copy()
+        for k in range(S.KM_K):
+            if (a == k).any():
+                new[k] = np.round(X[a == k].mean(axis=0), S._KM_R)
+        cents = new
+    final = assign(cents)
+
+    got = S.kmeans_train(spark, SF_TEST).collect()
+    got_c = {}
+    got_n = {}
+    for r in got:
+        got_c.setdefault(r["cid"], {})[r["dim_idx"]] = r["val"]
+        got_n[r["cid"]] = r["n_members"]
+    cid_of = {k: rows[k]["vec_id"] for k in range(S.KM_K)}
+    for k in range(S.KM_K):
+        want = cents[k]
+        have = np.array([got_c[cid_of[k]][j] for j in range(X.shape[1])])
+        assert np.allclose(want, have, atol=1e-9), f"centroid {k} diverged"
+        assert got_n[cid_of[k]] == int((final == k).sum())

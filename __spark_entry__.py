@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = (
     # new round-4 ops (first driver run)
     "kmeans_train",
+    "corpus_token_stats",
     "url_template_topk",
     "doc_gopher_filter",
     "dup_ngram_spans",

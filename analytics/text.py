@@ -862,3 +862,71 @@ def dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- corpus token-count statistics -------------------------------------
+@q(
+    "corpus_token_stats",
+    """
+    WITH t AS (
+      SELECT lang, len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus report: document counts, token totals, and
+    EXACT interpolated p50/p90 token-count percentiles (the numbers a
+    data-mixture design reads before setting sampling rates).
+
+    Scale shape — exact percentiles WITHOUT the per-group sort pole: a
+    naive ``percentile(n_tokens)`` over ``groupBy(lang)`` buffers every
+    value of a language in one task (a handful of languages × 10^10 docs
+    = a single-machine sort, same pole as ntile — see
+    doc_quality_buckets).  Instead aggregate to the (lang, n_tokens)
+    HISTOGRAM — token counts are small bounded ints, so the histogram is
+    metadata-sized at any corpus scale — then read each percentile off
+    the cumulative distribution with the quantile_cont interpolation
+    (index p = q·(N−1); linear blend of the floor/ceil order statistics),
+    resolved per lang by two conditional mins over the tiny histogram."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("lang", n_tok.alias("n"))
+    hist = t.groupBy("lang", "n").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("n")
+    wp = Window.partitionBy("lang")
+    h = hist.select(
+        "lang",
+        "n",
+        "c",
+        F.sum("c").over(w).alias("cum_end"),
+        F.sum("c").over(wp).alias("nd"),
+        F.sum(F.col("n").cast("long") * F.col("c")).over(wp).alias("tot"),
+    )
+
+    def pct(q: float):
+        # quantile_cont: index p = q*(N-1) into the sorted multiset;
+        # order statistic i = smallest n with cumulative count > i
+        p = F.lit(q) * (F.col("nd") - 1).cast("double")
+        lo, hi = F.floor(p), F.ceil(p)
+        v_lo = F.min(F.when(F.col("cum_end") > lo, F.col("n")))
+        v_hi = F.min(F.when(F.col("cum_end") > hi, F.col("n")))
+        frac = p - lo.cast("double")
+        return F.round(
+            v_lo.cast("double") + (v_hi - v_lo).cast("double") * F.max(frac), 4
+        )
+
+    return h.groupBy("lang").agg(
+        F.max("nd").alias("n_docs"),
+        F.max("tot").alias("total_tokens"),
+        pct(0.5).alias("p50_tokens"),
+        pct(0.9).alias("p90_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+    )

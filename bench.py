@@ -45,6 +45,9 @@ HEADLINE = (
     # round-4b: iterative link analysis + native-regexp PII scrub
     "link_pagerank",
     "doc_pii_scrub",
+    # round-4c: substring-dedup span mining + Gopher rule gate
+    "dup_ngram_spans",
+    "doc_gopher_filter",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

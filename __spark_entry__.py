@@ -62,6 +62,7 @@ _FRONT = (
     "doc_gopher_filter",
     "dup_ngram_spans",
     "media_interleave_stats",
+    "media_phash_dedup",
     "dedup_semantic",
     "link_pagerank",
     "doc_pii_scrub",

@@ -158,3 +158,42 @@ def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+@q("media_phash_dedup")
+def media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash media dedup (rows-only): quantize the decoded
+    feature vector to a compact binary signature (bit j = feature[j] >=
+    0.5 — the aHash construction over the fake decoder's features), then
+    group exact signature matches per media type and report duplicate
+    clusters with their canonical (lowest) doc_id.
+
+    Scale shape: the signature is computed inside the same narrow
+    post-decode projection (no extra pass over payload bytes), and the
+    only shuffle is the (media_type, phash) groupBy — an 8-byte key with
+    map-side partial counts, the exact-dedup D2 pattern applied to the
+    media modality.  Production swaps the fake feature extractor for a
+    real DCT phash; the clustering plumbing is unchanged."""
+    decoded = decode_media(media_table(spark, sf))
+    bits = F.aggregate(
+        F.zip_with(
+            "feature",
+            F.sequence(F.lit(0), F.size("feature") - 1),
+            # 2^j via pow (shiftleft needs a literal shift amount); exact
+            # in double for j <= 52, and the signature is 8 bits wide
+            lambda x, j: F.when(
+                x >= 0.5, F.pow(F.lit(2.0), j.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    sigs = decoded.select("doc_id", "media_type", bits.alias("phash"))
+    return (
+        sigs.groupBy("media_type", "phash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_members") >= 2)
+    )

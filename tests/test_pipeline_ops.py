@@ -743,3 +743,31 @@ def test_kmeans_train_matches_numpy_lloyd(spark):
         have = np.array([got_c[cid_of[k]][j] for j in range(X.shape[1])])
         assert np.allclose(want, have, atol=1e-9), f"centroid {k} diverged"
         assert got_n[cid_of[k]] == int((final == k).sum())
+
+
+def test_media_phash_dedup_matches_python(spark):
+    """Cluster sizes + canonical ids vs a python recompute of the fake
+    decoder's feature quantization."""
+    from collections import defaultdict
+
+    from analytics import multimodal as M
+    from analytics.common import load
+
+    groups = defaultdict(list)
+    for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect():
+        b = r["text"].encode("utf-8")
+        h = sum(b[:16]) + len(b)
+        mtype = ["image/png", "audio/wav", "video/mp4"][r["doc_id"] % 3]
+        phash = sum(
+            1 << j for j in range(8) if ((h >> (4 * j)) & 0xF) / 15.0 >= 0.5
+        )
+        groups[(mtype, phash)].append(r["doc_id"])
+    want = {
+        k: (len(v), min(v)) for k, v in groups.items() if len(v) >= 2
+    }
+    got = {
+        (r["media_type"], r["phash"]): (r["n_members"], r["canonical_doc"])
+        for r in M.QUERIES["media_phash_dedup"](spark, SF_TEST).collect()
+    }
+    assert got == want
+    assert got, "fixture must contain duplicate phash clusters"

@@ -59,6 +59,7 @@ _FRONT = (
     "kmeans_train",
     "corpus_token_stats",
     "url_template_topk",
+    "recrawl_priority",
     "doc_gopher_filter",
     "dup_ngram_spans",
     "media_interleave_stats",

@@ -316,6 +316,66 @@ def synth_fetch_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "recrawl_priority",
+    """
+    WITH f AS (
+      SELECT o_orderkey AS url_hash,
+             'h' || lpad(CAST(o_custkey % 211 AS VARCHAR), 4, '0') AS host,
+             CAST(o_orderkey % 20 AS INT) AS last_crawl_epoch,
+             CAST(o_custkey % 10 AS DOUBLE) / 10.0 AS change_rate
+      FROM orders),
+    s AS (SELECT url_hash, host,
+                 CAST(20 - last_crawl_epoch AS INT) AS age_epochs,
+                 round((20 - last_crawl_epoch) * (0.1 + change_rate), 4)
+                   AS recrawl_score
+          FROM f)
+    SELECT url_hash, host, age_epochs, recrawl_score, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY host
+                                       ORDER BY recrawl_score DESC, url_hash) AS rk
+          FROM s) WHERE rk <= 3
+    """,
+)
+def recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling: score = age × (base + observed
+    change rate) — the expected-change utility an incremental crawler
+    ranks its re-fetch queue by — then per-host top-k so politeness
+    budgets spend on the stalest, fastest-changing pages first.
+
+    Scale shape: scoring is a stateless scan; the top-k is the same
+    per-host window as the frontier pop (F5) — host-partitioned,
+    bounded-skew, no global sort.  Deterministic (last_crawl_epoch,
+    change_rate) synthesized from ``orders`` so the DuckDB twin
+    value-hashes the full ranking."""
+    o = load(spark, sf, "orders")
+    f = o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        F.concat(
+            F.lit("h"), F.lpad((F.col("o_custkey") % 211).cast("string"), 4, "0")
+        ).alias("host"),
+        (F.col("o_orderkey") % 20).cast("int").alias("last_crawl_epoch"),
+        ((F.col("o_custkey") % 10).cast("double") / 10.0).alias("change_rate"),
+    )
+    s = f.select(
+        "url_hash",
+        "host",
+        (F.lit(20) - F.col("last_crawl_epoch")).cast("int").alias("age_epochs"),
+        F.round(
+            (F.lit(20) - F.col("last_crawl_epoch")).cast("double")
+            * (F.lit(0.1) + F.col("change_rate")),
+            4,
+        ).alias("recrawl_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("recrawl_score").desc(), "url_hash")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("url_hash", "host", "age_epochs", "recrawl_score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@q(
     "url_template_topk",
     """
     WITH u AS (

@@ -60,6 +60,8 @@ _FRONT = (
     "corpus_token_stats",
     "url_template_topk",
     "recrawl_priority",
+    "w5_range_frame",
+    "a7_cube",
     "doc_gopher_filter",
     "dup_ngram_spans",
     "media_interleave_stats",

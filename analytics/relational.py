@@ -506,6 +506,65 @@ def w4_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "w5_range_frame",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(epoch(ts) AS BIGINT)
+                                  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4)
+             AS sum_5min
+    FROM events
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """W5: RANGE (value-based) window frame — the sliding 5-minute running
+    sum per user (rate-limit / burst-detection shape).  Unlike the W4
+    ROWS frame, a RANGE frame includes every peer at the same order
+    value, so tied timestamps aggregate identically on both engines
+    regardless of tie order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, Window.currentRow)
+    )
+    return load(spark, sf, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("sum_5min")
+    )
+
+
+@q(
+    "a7_cube",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def a7_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: CUBE multi-dimensional aggregate (all four grouping sets in one
+    pass — Catalyst's Expand feeds a single hash aggregate, so the input
+    is scanned once however many sets roll up).  NULL markers coalesced
+    to 'ALL' on both engines so the driver canonicalizer never sorts
+    NULLs."""
+    d = load(spark, sf, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 # ------------------------------------------------- sort / limit / set ops
 @q(
     "t1_global_sort",

@@ -62,6 +62,7 @@ _FRONT = (
     "recrawl_priority",
     "w5_range_frame",
     "a7_cube",
+    "st7_stream_static_join",
     "doc_gopher_filter",
     "dup_ngram_spans",
     "media_interleave_stats",

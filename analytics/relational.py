@@ -565,6 +565,31 @@ def a7_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "st7_stream_static_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st7_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7 batch twin: stream-static enrichment join + segment rollup.
+    The streaming form (engine/streaming.py segment_rollup over a file
+    stream) is proven equal on the same files by tests/test_streaming.py;
+    this registration carries the DuckDB oracle.  The dim side is
+    broadcast — the stream (or batch scan) is never shuffled for the
+    join, and the rollup's groupBy key is low-cardinality with map-side
+    partials."""
+    from engine.streaming import segment_rollup
+
+    e = load(spark, sf, "events")
+    dim = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return segment_rollup(e, dim)
+
+
 # ------------------------------------------------- sort / limit / set ops
 @q(
     "t1_global_sort",

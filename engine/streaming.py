@@ -157,3 +157,22 @@ def host_budget_state(rows: DataFrame, host_col: str = "host") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def segment_rollup(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """ST7: stream-static join — enrich the event stream with a static
+    (batch) dimension table and aggregate per segment.
+
+    The static side is broadcast: Spark re-plans the dim scan each
+    micro-batch but never shuffles the stream for the join (stream-static
+    joins are stateless — no watermark, no join state store).  This is
+    the continuous-deployment twin of the crawl engine's per-epoch
+    robots/budgets broadcast joins: a per-host dim enriching the fetched
+    stream."""
+    joined = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

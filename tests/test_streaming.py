@@ -95,3 +95,15 @@ def test_st6_host_budget_state(spark, events_batch):
         .collect()
     }
     assert final == expect
+
+
+def test_st7_stream_static_join_equals_batch(spark, events_batch):
+    dim = spark.read.parquet(f"{SF_TEST}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = st.run_available_now(
+        st.segment_rollup(st.stream_events(spark, SF_TEST), dim),
+        "t_segjoin",
+        "complete",
+    )
+    assert _rows(out) == _rows(st.segment_rollup(events_batch, dim))

@@ -122,3 +122,61 @@ def test_minhash_signature_stage_has_no_shuffle(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
     assert "ArrowEvalPython" in p
+
+
+def test_gopher_filter_zero_shuffle_no_python(spark):
+    """The Gopher gate is a stateless scan: no Exchange, no Python, and the
+    read schema prunes to (doc_id, text)."""
+    from analytics import text as T
+
+    p = plan(T.doc_gopher_filter(spark, SF_TEST))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_dup_ngram_spans_two_phase_distinct_agg(spark):
+    """Span mining: exactly the two exchanges of a two-phase distinct agg,
+    with a partial HashAggregate BELOW the first exchange (map-side
+    combine), and a narrow Generate (no shuffle before it)."""
+    from analytics import text as T
+
+    p = plan(T.dup_ngram_spans(spark, SF_TEST))
+    # formatted mode prints each node twice (tree + detail); count detail headers
+    assert p.count(") Exchange") == 2
+    assert "Generate" in p
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex], "no map-side partial agg"
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The k-means assign pass must broadcast the centroid table (never
+    shuffle the corpus against it) and keep the argmin key-unique."""
+    from analytics import similarity as S
+
+    p = plan(S.kmeans_train(spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_media_phash_single_exchange(spark):
+    """Perceptual-hash dedup: the only shuffle is the (type, phash)
+    groupBy — one Exchange above the decode projection."""
+    from analytics import multimodal as M
+
+    p = plan(M.QUERIES["media_phash_dedup"](spark, SF_TEST))
+    assert p.count(") Exchange") == 1
+
+
+def test_corpus_token_stats_histogram_shape(spark):
+    """Exact percentiles ride the (lang, n) histogram: the plan carries
+    Window nodes over the aggregated histogram, and the raw documents
+    scan feeds ONE partial-agg exchange, not a per-lang global sort of
+    raw rows."""
+    from analytics import text as T
+
+    p = plan(T.corpus_token_stats(spark, SF_TEST))
+    assert "Window" in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "text" in read and "source" not in read

@@ -511,7 +511,7 @@ def w4_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT event_id,
            round(sum(value) OVER (PARTITION BY user_id
-                                  ORDER BY CAST(epoch(ts) AS BIGINT)
+                                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                                   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4)
              AS sum_5min
     FROM events
@@ -522,7 +522,10 @@ def w5_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     sum per user (rate-limit / burst-detection shape).  Unlike the W4
     ROWS frame, a RANGE frame includes every peer at the same order
     value, so tied timestamps aggregate identically on both engines
-    regardless of tie order."""
+    regardless of tie order.  The oracle keys on floor(epoch(ts)) because
+    Spark's unix_timestamp TRUNCATES sub-second fractions while DuckDB's
+    bare CAST(epoch(ts) AS BIGINT) rounds half-up — on microsecond
+    timestamps the two keyings disagree on ~half the rows (r04 advice)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))

@@ -442,9 +442,15 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
 # --- k-means coarse-quantizer training ---------------------------------
 KM_K = 8
 KM_ITER = 3
-_KM_R = 6  # per-iteration centroid rounding (decimals): pins the two
-# engines' floating-point means to one grid so iteration i+1 starts from
-# bit-identical centroids on both sides
+_KM_G = 1_000_000  # centroid grid: 1e-6 microunits.  Member coordinates are
+# snapped to BIGINT microunits BEFORE summing (integer sums are exact and
+# order-independent, so Spark and DuckDB agree however they order the group
+# members), and the new centroid is the mean rounded to an integer microunit.
+# round-to-INTEGER of a shared double is safe in both engines (the only true
+# tie, s/n = k+0.5 with integer s,n, is exactly representable and both round
+# ties away from zero), unlike round-to-6-decimals whose half-way detection
+# differs between Spark's BigDecimal path and DuckDB's numeric path — the
+# r04-advice parity flake this grid design removes.
 
 
 def _km_iter_sql(i: int) -> str:
@@ -457,7 +463,10 @@ def _km_iter_sql(i: int) -> str:
              SELECT *, row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, cid) AS rn
              FROM d{i}) WHERE rn = 1),
-  m{i} AS (SELECT cid, j, round(avg(embedding[j]::DOUBLE), {_KM_R}) AS x
+  m{i} AS (SELECT cid, j,
+                  CAST(round(CAST(sum(CAST(round(embedding[j]::DOUBLE * {_KM_G})
+                                          AS BIGINT)) AS DOUBLE)
+                             / count(*)) AS BIGINT) / CAST({_KM_G} AS DOUBLE) AS x
            FROM a{i}, unnest(range(1, len(embedding) + 1)) t(j)
            GROUP BY cid, j),
   n{i} AS (SELECT cid, list(x ORDER BY j) AS cent FROM m{i} GROUP BY cid),
@@ -471,7 +480,9 @@ def _km_iter_sql(i: int) -> str:
     f"""
     WITH c0 AS (
       SELECT vec_id AS cid,
-             list_transform(embedding, x -> round(x::DOUBLE, {_KM_R})) AS cent
+             list_transform(embedding,
+               x -> CAST(round(x::DOUBLE * {_KM_G}) AS BIGINT)
+                    / CAST({_KM_G} AS DOUBLE)) AS cent
       FROM embeddings ORDER BY vec_id LIMIT {KM_K}),
     {",".join(_km_iter_sql(i) for i in range(1, KM_ITER + 1))},
     df AS (SELECT e.vec_id, c.cid,
@@ -504,9 +515,12 @@ def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     map-side; ``localCheckpoint`` per round cuts the lineage so the plan
     stays O(1) per iteration (same device as PageRank / connected
     components).  The DuckDB oracle unrolls the fixed trip count into
-    chained CTEs; per-iteration centroid rounding to {_KM_R} decimals on
-    BOTH engines pins the floating-point means to a shared grid so the
-    value hash compares bit-equal centroids, not ulp noise.  Output is
+    chained CTEs; centroids live on an integer microunit grid (_KM_G):
+    member coordinates snap to BIGINT microunits before the (exact,
+    order-independent) integer sum, and the mean rounds to an integer
+    microunit — so both engines carry bit-identical centroids through
+    every iteration with no order- or rounding-implementation
+    sensitivity (r04-advice hardening).  Output is
     (cid, dim_idx, val, n_members) rows — scalars, driver-sortable (the
     emb_quantize_int8 list-column lesson)."""
     e = load_spread(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -515,9 +529,11 @@ def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         .limit(KM_K)
         .select(
             F.col("vec_id").alias("cid"),
-            F.transform("embedding", lambda x: F.round(x.cast("double"), _KM_R)).alias(
-                "cent"
-            ),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_G, 0).cast("long")
+                / F.lit(float(_KM_G)),
+            ).alias("cent"),
         )
     )
 
@@ -552,7 +568,20 @@ def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         newc = (
             assign.select("cid", F.posexplode("embedding").alias("j", "x"))
             .groupBy("cid", "j")
-            .agg(F.round(F.avg(F.col("x").cast("double")), _KM_R).alias("x"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * _KM_G, 0).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cid",
+                "j",
+                (
+                    F.round(F.col("s").cast("double") / F.col("n"), 0).cast("long")
+                    / F.lit(float(_KM_G))
+                ).alias("x"),
+            )
             .groupBy("cid")
             .agg(
                 F.transform(

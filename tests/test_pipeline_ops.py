@@ -631,7 +631,10 @@ def test_gopher_filter_matches_python(spark):
     docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
     n_checked = 0
     for r in docs:
-        ws = [w for w in re.split(" +", r["text"].strip()) if w]
+        # engine semantics: trim() strips SPACES only, split on literal-space
+        # runs — python .strip() (all whitespace) would diverge on docs with
+        # leading/trailing tabs/newlines (r04 advice)
+        ws = [w for w in re.split(" +", r["text"].strip(" ")) if w]
         if not ws:
             assert r["doc_id"] not in got
             continue
@@ -715,7 +718,15 @@ def test_kmeans_train_matches_numpy_lloyd(spark):
     rows = load(spark, SF_TEST, "embeddings").select("vec_id", "embedding").collect()
     rows.sort(key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    cents = np.round(X[: S.KM_K], S._KM_R)
+
+    def away(v):
+        # round half away from zero (engine semantics; np.round is banker's)
+        return np.copysign(np.floor(np.abs(v) + 0.5), v)
+
+    # member coordinates snapped to integer microunits — exact integer sums
+    # (all values < 2**53) reproduce the engines' order-independent means
+    M = away(X * S._KM_G)
+    cents = M[: S.KM_K] / S._KM_G
 
     def assign(c):
         d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
@@ -727,7 +738,8 @@ def test_kmeans_train_matches_numpy_lloyd(spark):
         new = cents.copy()
         for k in range(S.KM_K):
             if (a == k).any():
-                new[k] = np.round(X[a == k].mean(axis=0), S._KM_R)
+                grp = M[a == k]
+                new[k] = away(grp.sum(axis=0) / len(grp)) / S._KM_G
         cents = new
     final = assign(cents)
 

@@ -59,6 +59,10 @@ def main() -> None:
                 f"pooled legs disagree on per-epoch pops (different input?): "
                 f"{rec['urls_popped']} vs {ref['urls_popped']}"
             )
+    # batch provenance from the legs' own `run` tags, NOT the file count —
+    # one jsonl file can hold several batches (r04 advice: the r4 pooled
+    # summary claimed "1 batches" while pooling r4a + r4b from one file)
+    batches = sorted({rec.get("run", "untagged") for rec in runs_lo + runs_hi})
     b_lo, b_hi = best_of(runs_lo), best_of(runs_hi)
     eff_best = [
         round((hi["best"] / lo["best"]) / factor, 3)
@@ -71,7 +75,8 @@ def main() -> None:
     out = {
         "run": label,
         "protocol": (
-            f"pooled raw legs from {len(sys.argv) - 5} interleaved batches, "
+            f"pooled raw legs from {len(batches)} interleaved batches "
+            f"({', '.join(batches)}), "
             f"taskset-pinned local[{n_lo}] vs local[{n_hi}]; epoch 1 = "
             "JIT/worker warm-up, epochs >= 2 measured; best & median rate "
             "per MATCHED epoch index across all repeats (protocol of "

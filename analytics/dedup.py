@@ -333,7 +333,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard.  Scale path of dedup_ngram_jaccard: bucket-join volume is
     O(collisions), not O(n²); the exact verifier then runs only on
     candidates.  Rows-only for the driver (bucketed-candidate recall is
-    asserted vs exact Jaccard in tests/test_dedup.py)."""
+    asserted vs exact Jaccard in tests/test_dedup.py).
+
+    The 512-byte signature arrays are joined back ONCE, not once per pair
+    side (the r03/r04 shape): each candidate pair unpivots into two
+    (d1, d2, slot, doc_id) probe rows, ONE equi-join against the signature
+    table attaches each doc's sig, and a (d1, d2) re-group pivots the two
+    slots back into (sig1, sig2).  At web scale the signature table is the
+    corpus-sized side (n_docs × 64 longs — never broadcastable), so
+    scanning/shuffling it once instead of twice halves the dominant join
+    input; the probe rows and the sig-carrying regroup are both
+    O(candidates), which LSH keeps ≪ n_docs."""
     sigs = minhash_signatures_banded(_shingle_arrays(spark, sf)).persist()
     bands = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
@@ -349,17 +359,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    sides = cands.select(
+        "d1", "d2", F.explode(F.array(F.lit(1), F.lit(2))).alias("slot")
+    ).withColumn(
+        "doc_id", F.when(F.col("slot") == 1, F.col("d1")).otherwise(F.col("d2"))
+    )
+    paired = (
+        sides.join(sigs.select("doc_id", "sig"), "doc_id")
+        .groupBy("d1", "d2")
+        .agg(
+            F.first(F.when(F.col("slot") == 1, F.col("sig")), ignorenulls=True).alias(
+                "sig1"
+            ),
+            F.first(F.when(F.col("slot") == 2, F.col("sig")), ignorenulls=True).alias(
+                "sig2"
+            ),
+        )
+    )
     est = (
         F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda v: v))
         / float(N_PERM)
     )
-    return (
-        cands.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", F.round(est, 4).alias("est_jaccard"))
-    )
+    return paired.select("d1", "d2", F.round(est, 4).alias("est_jaccard"))
 
 
 # ----------------------------------------------------------------- SimHash

@@ -864,6 +864,111 @@ def dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_remove_dup_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    e AS (
+      SELECT doc_id, st,
+             array_to_string(list_slice(ws, st + 1, st + {SPAN_K}), ' ') AS span
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {SPAN_K} + 1)) AS st
+            FROM t WHERE len(ws) >= {SPAN_K})),
+    dup AS (SELECT span FROM e GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 2),
+    bad AS (SELECT e.doc_id, list(DISTINCT e.st) AS sts
+            FROM e JOIN dup USING (span) GROUP BY e.doc_id),
+    cut AS (
+      SELECT t.doc_id, t.ws, coalesce(bad.sts, []) AS sts
+      FROM t LEFT JOIN bad ON t.doc_id = bad.doc_id),
+    k AS (
+      SELECT doc_id, ws,
+             list_transform(
+               list_filter(range(0, len(ws)),
+                 i -> len(list_filter(sts,
+                        st -> st <= i AND i < st + {SPAN_K})) = 0),
+               i -> ws[i + 1]) AS kept
+      FROM cut)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join
+           -- of an empty array is '' — a fully-excised doc hashes md5('')
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_hash
+    FROM k
+    """,
+)
+def doc_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The consumer half of substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): excise every token that
+    falls inside a corpus-duplicated SPAN_K-token window (the span set
+    :func:`dup_ngram_spans` mines), keeping the rest of the document in
+    order.  Output is per-doc token counts plus the md5 of the scrubbed
+    text (the doc_pii_scrub device — full-content equality without
+    shipping megabyte rows).
+
+    Scale shape: span mining is the dup_ngram_spans plan (narrow rolling
+    explode + two-phase count-distinct agg); the surviving high-count
+    span set is tiny relative to the corpus (it is the point of the
+    threshold), so the membership probe is a BROADCAST semi-join against
+    the exploded (doc_id, st, span) rows — no corpus shuffle.  Bad start
+    offsets re-aggregate per doc (collect_set over O(hits) rows) and join
+    back to the column-pruned documents scan on doc_id — the one
+    corpus-keyed shuffle; the excision itself is a stateless HOF over the
+    token array (positions covered by any bad window drop out), entirely
+    inside codegen with zero Python.  Docs shorter than SPAN_K tokens
+    carry no windows and pass through unchanged."""
+    d = load(spark, sf, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", ws.alias("ws"))
+    e = (
+        t.where(F.size("ws") >= SPAN_K)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - SPAN_K)).alias("st"),
+        )
+        .select(
+            "doc_id",
+            "st",
+            F.array_join(F.slice("ws", F.col("st") + 1, SPAN_K), " ").alias("span"),
+        )
+    )
+    dup = (
+        e.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    bad = (
+        e.join(F.broadcast(dup), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("st").alias("sts"))
+    )
+    cut = t.join(bad, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("sts", F.array().cast("array<int>")).alias("sts"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — reads better inline
+        "sts", lambda st: (st <= i) & (i < st + SPAN_K)
+    )
+    kept = F.transform(
+        F.filter(
+            F.transform("ws", lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+            lambda s: ~covered(s.i),
+        ),
+        lambda s: s.x,
+    )
+    return cut.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+    )
+
+
 # --- corpus token-count statistics -------------------------------------
 @q(
     "corpus_token_stats",

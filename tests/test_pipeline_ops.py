@@ -685,6 +685,50 @@ def test_dup_ngram_spans_matches_python(spark):
     assert got == want
 
 
+def test_remove_dup_spans_matches_python(spark):
+    """Excision counts + scrubbed-text md5 vs a direct python recompute of
+    the Lee-et-al span cut (mine dup spans, drop every covered token)."""
+    import hashlib
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [w for w in r["text"].split(" ") if w] for r in docs}
+    docs_of: dict = {}
+    for did, ws in toks.items():
+        for i in range(len(ws) - T.SPAN_K + 1):
+            docs_of.setdefault(" ".join(ws[i : i + T.SPAN_K]), set()).add(did)
+    dup = {s for s, d in docs_of.items() if len(d) >= 2}
+
+    want = {}
+    for did, ws in toks.items():
+        bad = [
+            i
+            for i in range(len(ws) - T.SPAN_K + 1)
+            if " ".join(ws[i : i + T.SPAN_K]) in dup
+        ]
+        cov = set()
+        for st in bad:
+            cov.update(range(st, st + T.SPAN_K))
+        kept = [w for i, w in enumerate(ws) if i not in cov]
+        want[did] = (
+            len(ws),
+            len(ws) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_hash"])
+        for r in T.doc_remove_dup_spans(spark, SF_TEST).collect()
+    }
+    assert got == want
+    # the fixture must exercise all three regimes: untouched docs, partial
+    # excision, and at least one fully-excised doc
+    removed = [v[1] for v in want.values()]
+    assert any(n == 0 for n in removed)
+    assert any(0 < v[1] < v[0] for v in want.values())
+
+
 def test_interleave_stats_match_pyref(spark):
     """Every per-document stat vs the pure-python span generator."""
     from analytics import crawl_queries as CQ

@@ -1035,3 +1035,124 @@ def corpus_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         pct(0.9).alias("p90_tokens"),
         F.max("n").cast("long").alias("max_tokens"),
     )
+
+
+# --- BPE tokenizer-training merges --------------------------------------
+BPE_MERGES = 8
+
+
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+  y{i} AS (SELECT freq, list_filter(string_split(s, chr(31)), x -> x != '')
+                    AS syms
+           FROM s{i - 1}),
+  p{i} AS (SELECT syms[j] AS lhs, syms[j + 1] AS rhs, sum(freq) AS cnt
+           FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+                 FROM y{i} WHERE len(syms) >= 2)
+           GROUP BY lhs, rhs),
+  b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+  s{i} AS (SELECT freq,
+                  replace(s, chr(31) || lhs || chr(31) || rhs || chr(31),
+                             chr(31) || lhs || rhs || chr(31)) AS s
+           FROM s{i - 1}, b{i})
+"""
+
+
+@q(
+    "bpe_train",
+    f"""
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+              AS word
+            FROM documents)
+      GROUP BY word),
+    s0 AS (
+      SELECT freq,
+             chr(31) || array_to_string(string_split(word, ''), chr(31))
+                     || chr(31) AS s
+      FROM w),
+    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )}
+    """,
+)
+def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al., "Neural Machine Translation
+    of Rare Words with Subword Units"): BPE_MERGES rounds, each taking the
+    corpus-frequency-weighted most-frequent adjacent symbol pair and fusing
+    it everywhere.  Returns the merge table (merge_rank, lhs, rhs, merged,
+    pair_count) — the artifact a tokenizer ships.
+
+    Determinism contract shared by the three oracles (Spark, DuckDB twin,
+    python recompute in tests): ties on pair count break lexicographically
+    on (lhs, rhs); the per-round rewrite replaces non-overlapping
+    boundary-anchored occurrences in ONE left-to-right scan (`replace`
+    scans identically in all three engines — a run of k overlapping
+    occurrences fuses alternately, and the stragglers recount in the next
+    round), with symbol sequences carried as chr(31)-delimited strings so
+    a pair match can never cross a symbol boundary.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency hash agg
+    with map-side partials); every BPE round then runs on the vocab-sized
+    (word, freq) table — per round, one narrow pair-explode + (lhs, rhs)
+    hash agg (bounded keys, partial-agg absorbed), a LIMIT-1 top-pair
+    reduce, and a broadcast single-row rewrite of the symbol strings with
+    `localCheckpoint` cutting the lineage per round (the kmeans_train /
+    link_pagerank device).  No driver-side collect; the merge table
+    accumulates as a union of the per-round 1-row frames."""
+    d = load(spark, sf, "documents")
+    w = (
+        d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    v = w.select(
+        "freq",
+        F.expr(
+            "concat(chr(31), array_join(split(word, ''), chr(31)), chr(31))"
+        ).alias("s"),
+    )
+    pair_t = (
+        "transform(sequence(1, size(syms) - 1), "
+        "j -> struct(element_at(syms, j) AS lhs, element_at(syms, j + 1) AS rhs))"
+    )
+    merges = []
+    for i in range(1, BPE_MERGES + 1):
+        y = v.select("freq", F.expr("filter(split(s, chr(31)), x -> x != '')").alias("syms"))
+        pairs = (
+            y.where(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(pair_t)).alias("pr"))
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1).localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(i).alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        v = (
+            v.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                "freq",
+                F.expr(
+                    "replace(s, concat(chr(31), lhs, chr(31), rhs, chr(31)), "
+                    "concat(chr(31), lhs, rhs, chr(31)))"
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -729,6 +729,50 @@ def test_remove_dup_spans_matches_python(spark):
     assert any(0 < v[1] < v[0] for v in want.values())
 
 
+def test_bpe_train_matches_python(spark):
+    """Merge table vs a pure-python BPE with the identical determinism
+    contract (count-then-lexicographic tie-break; one left-to-right
+    non-overlapping boundary-anchored replace per round)."""
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    SEP = "\x1f"
+    freq: Counter = Counter()
+    for r in load(spark, SF_TEST, "documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {SEP + SEP.join(w) + SEP: f for w, f in freq.items()}
+
+    want = []
+    for rank in range(1, T.BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for s, f in vocab.items():
+            syms = [x for x in s.split(SEP) if x]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, lhs, rhs, lhs + rhs, cnt))
+        old, new = SEP + lhs + SEP + rhs + SEP, SEP + lhs + rhs + SEP
+        # str.replace scans left-to-right non-overlapping — the same
+        # semantics as Spark/DuckDB replace(), pinned by this test
+        nxt: Counter = Counter()
+        for s, f in vocab.items():
+            nxt[s.replace(old, new)] += f
+        vocab = nxt
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in T.bpe_train(spark, SF_TEST).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    # the fixture must actually exercise multi-char merges building on
+    # earlier ones, not eight independent char pairs
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in want)
+
+
 def test_interleave_stats_match_pyref(spark):
     """Every per-document stat vs the pure-python span generator."""
     from analytics import crawl_queries as CQ

@@ -49,67 +49,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the STALEST driver
-# signal.  r04 (VERDICT r03 task 3): the two r03 red rows whose fixes land
-# this round, the three queries whose plans changed in r03 via
-# `load_spread` AFTER their last driver row, then the 22 remaining queries
-# whose last driver row is r02 — every registered query then has a driver
-# row from r03 or r04.
+# signal.  r05 (VERDICT r04 task 1): the two brand-new ops, the three
+# queries whose plan or oracle changed THIS round after their r04 driver
+# row (w5 oracle epoch-floor fix, kmeans integer-grid centroids, minhash
+# single signature join-back), then all 43 queries whose last driver row
+# is r02/r03 — after this window every registered query's driver evidence
+# is ≤ 1 round old.
 _FRONT = (
-    # new round-4 ops (first driver run)
-    "kmeans_train",
-    "corpus_token_stats",
-    "url_template_topk",
-    "recrawl_priority",
+    # new round-5 ops (first driver run)
+    "doc_remove_dup_spans",
+    "bpe_train",
+    # plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
-    "a7_cube",
-    "st7_stream_static_join",
-    "doc_gopher_filter",
-    "dup_ngram_spans",
-    "media_interleave_stats",
-    "media_phash_dedup",
-    "dedup_semantic",
-    "link_pagerank",
-    "doc_pii_scrub",
-    "doc_quality_buckets",
-    "doc_chunk_overlap",
-    "doc_tfidf_topk",
-    "doc_lm_score",
-    # r03 red rows, fixed this round (oracle HUGEINT cast; array→string shape)
-    "doc_pack_sequences",
-    "emb_quantize_int8",
-    # plans changed in r03 (load_spread) after their last (r02) driver row
-    "emb_cosine_pairs",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    # plans changed in r04 (struct-packed minhash signatures + in-Arrow
-    # band hashes; shared shingle builder; blocked-GEMM spread) after
-    # their last driver row
+    "kmeans_train",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "emb_cosine_pairs_blocked",
-    # last driver row r02
-    "t2_topk_limit",
-    "t3_group_topk",
-    "u1_union",
-    "u2_intersect_except",
-    "u3_distinct_pairs",
-    "x_string_funcs",
-    "x_hash_funcs",
-    "x_date_funcs",
-    "x_math_funcs",
-    "x_array_funcs",
-    "x_json_funcs",
-    "x_map_funcs",
-    "x_struct_funcs",
-    "st3_tumbling_window",
-    "st4_sliding_window",
-    "ud5_grouped_agg_udaf",
-    "text_quality",
-    "text_langid",
-    "token_count",
-    "doc_fingerprint",
-    "media_decode_stub",
-    "media_frame_sample",
+    # last driver row r03: relational surface
+    "pf2_predicates",
+    "pf3_null_safe",
+    "pf4_like_rlike",
+    "j1_broadcast_join",
+    "j2_shuffle_join_agg",
+    "j3_left_outer_join",
+    "j4_left_anti_join",
+    "j5_left_semi_join",
+    "j6_range_join",
+    "j7_asof_join",
+    "j8_cross_join",
+    "a1_hash_agg",
+    "a2_count_distinct",
+    "a3_approx_distinct",
+    "a4_rollup",
+    "a5_collect_list_ordered",
+    "a6_global_agg",
+    "w1_row_number_topk",
+    "w2_rank_dense",
+    "w3_lag_lead",
+    "w4_running_sum",
+    "t1_global_sort",
+    "st5_session_window",
+    # last driver row r03: crawl-dataflow queries
+    "frontier_pop",
+    "frontier_merge",
+    "robots_longest_prefix",
+    "canonicalize_urls",
+    "seed_ingest",
+    "url_keys",
+    "synth_fetch_spans",
+    "bloom_probe",
+    # last driver row r03: dedup / sampling / pipeline / similarity / text
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "doc_sample_stratified",
+    "doc_split_assign",
+    "doc_mixture_rebalance",
+    "ann_ivf",
+    "corpus_bigram_topk",
+    "doc_decontaminate",
+    "doc_repetition_score",
+    "pipeline_pretrain_corpus",
 )
 
 

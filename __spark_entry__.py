@@ -59,6 +59,8 @@ _FRONT = (
     # new round-5 ops (first driver run)
     "doc_remove_dup_spans",
     "bpe_train",
+    "bpe_apply",
+    "link_hits",
     # plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",

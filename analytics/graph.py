@@ -1,4 +1,4 @@
-"""Link-graph analytics for the crawl corpus — iterative PageRank.
+"""Link-graph analytics for the crawl corpus — iterative PageRank + HITS.
 
 PageRank is THE canonical web-graph operator a crawl analytics engine is
 expected to carry (SURVEY.md §2 names link analysis as the downstream
@@ -132,3 +132,114 @@ def link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.round("pr", 4).alias("pr"))
+
+
+# --- HITS hubs & authorities ---------------------------------------------
+HITS_ITER = 4
+
+
+def _hits_iter_sql(i: int) -> str:
+    return f"""
+  a{i} AS (SELECT n.node, coalesce(sum(h.hub), 0) AS auth
+           FROM nodes n
+           LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN h{i - 1} h ON h.node = e.src
+           GROUP BY n.node),
+  h{i} AS (SELECT n.node, coalesce(sum(a.auth), 0) AS hub
+           FROM nodes n
+           LEFT JOIN edges e ON e.src = n.node
+           LEFT JOIN a{i} a ON a.node = e.dst
+           GROUP BY n.node)
+"""
+
+
+@q(
+    "link_hits",
+    "WITH "
+    + ",".join(
+        [_EDGES_SQL.replace("pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+                            "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)")]
+        + [_hits_iter_sql(i) for i in range(1, HITS_ITER + 1)]
+    )
+    + f"""
+    SELECT a.node,
+           round(a.auth / (SELECT sum(auth) FROM a{HITS_ITER}), 6) AS auth_score,
+           round(h.hub / (SELECT sum(hub) FROM h{HITS_ITER}), 6) AS hub_score
+    FROM a{HITS_ITER} a JOIN h{HITS_ITER} h ON h.node = a.node
+    """,
+)
+def link_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
+    Environment") over the same deterministic lineitem link graph as
+    link_pagerank: HITS_ITER coupled rounds of
+    auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v).
+
+    Parity device — EXACT integer iterations, one inexact op at the end:
+    the textbook per-round L1/L2 normalization divides by an
+    order-dependent floating sum every round, compounding cross-engine
+    rounding through the iteration (the kmeans_train fragility the r04
+    advice flagged).  Instead the rounds run UN-normalized: hub starts at
+    1, every score is then a sum of integer-valued doubles — exact and
+    summation-order-independent up to 2^53 (the 400-node fixture peaks
+    ~1e10) — so all four rounds are bit-identical in Spark, DuckDB and
+    python.  A single normalization by the (exact-integer) global sum,
+    then round(·, 6), is the only inexact arithmetic and it is one IEEE
+    division composed once, deterministic across engines.
+
+    Scale shape: identical to link_pagerank — per round two
+    shuffle-on-key aggregations (dst then src, partial aggs combine
+    map-side), edges/nodes checkpointed once, per-round localCheckpoint
+    keeps the plan O(1); AQE skew-splits hub pages.  The final
+    normalization is a 1-row global agg broadcast back with a crossJoin,
+    not a driver collect."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(HITS_ITER):
+        a_contrib = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = (
+            nodes.join(a_contrib, nodes.node == a_contrib.dst, "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("auth"))
+            .localCheckpoint()
+        )
+        h_contrib = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = (
+            nodes.join(h_contrib, nodes.node == h_contrib.src, "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("hub"))
+            .localCheckpoint()
+        )
+    tot = auth.agg(F.sum("auth").alias("ta")).crossJoin(
+        hub.agg(F.sum("hub").alias("th"))
+    )
+    return (
+        auth.join(hub, "node")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.round(F.col("auth") / F.col("ta"), 6).alias("auth_score"),
+            F.round(F.col("hub") / F.col("th"), 6).alias("hub_score"),
+        )
+    )

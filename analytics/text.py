@@ -1058,10 +1058,10 @@ def _bpe_round_sql(i: int) -> str:
 """
 
 
-@q(
-    "bpe_train",
-    f"""
-    WITH w AS (
+# Training CTE chain shared by the bpe_train and bpe_apply oracles: word
+# frequencies -> chr(31)-delimited symbol strings -> BPE_MERGES rounds of
+# (pair count, top pair b{i}, rewrite s{i}).
+_BPE_TRAIN_CTES = f"""w AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
               AS word
@@ -1072,7 +1072,13 @@ def _bpe_round_sql(i: int) -> str:
              chr(31) || array_to_string(string_split(word, ''), chr(31))
                      || chr(31) AS s
       FROM w),
-    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))}
+    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))}"""
+
+
+@q(
+    "bpe_train",
+    f"""
+    WITH {_BPE_TRAIN_CTES}
     {" UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
@@ -1104,7 +1110,28 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     `localCheckpoint` cutting the lineage per round (the kmeans_train /
     link_pagerank device).  No driver-side collect; the merge table
     accumulates as a union of the per-round 1-row frames."""
-    d = load(spark, sf, "documents")
+    bests = _bpe_train_merges(load(spark, sf, "documents"))
+    merges = [
+        best.select(
+            F.lit(i).alias("merge_rank"),
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            F.col("cnt").cast("long").alias("pair_count"),
+        )
+        for i, best in enumerate(bests, start=1)
+    ]
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
+    """The BPE_MERGES training rounds over a documents frame; returns the
+    checkpointed 1-row best-pair frame (lhs, rhs, cnt) per rank, in rank
+    order.  Shared by bpe_train (which emits the merge table) and
+    bpe_apply (which tokenizes the corpus with it)."""
     w = (
         d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
         .groupBy("word")
@@ -1120,8 +1147,8 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
         "transform(sequence(1, size(syms) - 1), "
         "j -> struct(element_at(syms, j) AS lhs, element_at(syms, j + 1) AS rhs))"
     )
-    merges = []
-    for i in range(1, BPE_MERGES + 1):
+    bests = []
+    for _ in range(BPE_MERGES):
         y = v.select("freq", F.expr("filter(split(s, chr(31)), x -> x != '')").alias("syms"))
         pairs = (
             y.where(F.size("syms") >= 2)
@@ -1132,15 +1159,7 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
         best = (
             pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1).localCheckpoint()
         )
-        merges.append(
-            best.select(
-                F.lit(i).alias("merge_rank"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                F.col("cnt").cast("long").alias("pair_count"),
-            )
-        )
+        bests.append(best)
         v = (
             v.crossJoin(F.broadcast(best.select("lhs", "rhs")))
             .select(
@@ -1152,7 +1171,80 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return bests
+
+
+@q(
+    "bpe_apply",
+    f"""
+    WITH {_BPE_TRAIN_CTES},
+    d0 AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(string_split(text, ' '), x -> x != ''),
+                 w -> chr(31) || array_to_string(string_split(w, ''), chr(31))
+                              || chr(31)),
+               chr(30)) AS s
+      FROM documents),
+    {",".join(
+        f"d{i} AS (SELECT doc_id, "
+        f"replace(s, chr(31) || lhs || chr(31) || rhs || chr(31), "
+        f"chr(31) || lhs || rhs || chr(31)) AS s FROM d{i - 1}, b{i})"
+        for i in range(1, BPE_MERGES + 1)
+    )}
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           md5(array_to_string(toks, chr(31))) AS tokens_md5
+    FROM (SELECT doc_id,
+                 list_filter(string_split(replace(s, chr(30), chr(31)), chr(31)),
+                             x -> x != '') AS toks
+          FROM d{BPE_MERGES})
+    """,
+)
+def bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenization — the consumer half of bpe_train (the same
+    detector/resolver pairing as dup clusters -> keep list and
+    dup_ngram_spans -> doc_remove_dup_spans): train the merge table, then
+    tokenize every document with it, emitting per doc the BPE token count
+    and an md5 over the full chr(31)-joined token stream so the value
+    hash pins the EXACT token sequence, not just its length.
+
+    Merge application uses the training contract verbatim: each merge
+    rank rewrites the corpus in one left-to-right non-overlapping
+    `replace` pass, in rank order.  Documents are encoded as
+    chr(31)-delimited symbols with words joined by chr(30), so a pair
+    pattern (chr(31) lhs chr(31) rhs chr(31)) can never match across a
+    word boundary — merges stay within words, as BPE requires.
+
+    Scale shape: after the vocab-sized training rounds (see bpe_train),
+    the corpus is rewritten by BPE_MERGES chained broadcast single-row
+    joins — a zero-shuffle narrow pipeline over the documents scan; the
+    1-row merge frames are already checkpointed, so the doc plan is a
+    linear chain of BroadcastNestedLoopJoins feeding one projection."""
+    d = load(spark, sf, "documents")
+    bests = _bpe_train_merges(d)
+    s = d.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(filter(split(text, ' '), x -> x != ''), "
+            "w -> concat(chr(31), array_join(split(w, ''), chr(31)), chr(31))), "
+            "chr(30))"
+        ).alias("s"),
+    )
+    for best in bests:
+        s = s.crossJoin(F.broadcast(best.select("lhs", "rhs"))).select(
+            "doc_id",
+            F.expr(
+                "replace(s, concat(chr(31), lhs, chr(31), rhs, chr(31)), "
+                "concat(chr(31), lhs, rhs, chr(31)))"
+            ).alias("s"),
+        )
+    toks = F.expr(
+        "filter(split(replace(s, chr(30), chr(31)), chr(31)), x -> x != '')"
+    )
+    return s.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(toks, "\x1f")).alias("tokens_md5"),
+    )

@@ -48,6 +48,10 @@ HEADLINE = (
     # round-4c: substring-dedup span mining + Gopher rule gate
     "dup_ngram_spans",
     "doc_gopher_filter",
+    # round-5: substring-dedup consumer, BPE train+tokenize, HITS
+    "doc_remove_dup_spans",
+    "bpe_apply",
+    "link_hits",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

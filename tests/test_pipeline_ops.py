@@ -490,6 +490,53 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert sum(got.values()) <= len(nodes) + 1e-6
 
 
+def test_hits_matches_python_iteration(spark):
+    """4 un-normalized HITS rounds against a dict-based recompute.
+
+    The rounds stay on exact integers (see link_hits docstring), so the
+    comparison is equality after the single final normalization+round,
+    not an epsilon band."""
+    from collections import defaultdict
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (F.col("l_suppkey") % G.N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    edges = [(r["src"], r["dst"]) for r in rows]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(G.HITS_ITER):
+        acc = defaultdict(float)
+        for s, d in edges:
+            acc[d] += hub[s]
+        auth = {n: acc.get(n, 0.0) for n in nodes}
+        acc = defaultdict(float)
+        for s, d in edges:
+            acc[s] += auth[d]
+        hub = {n: acc.get(n, 0.0) for n in nodes}
+    # exact-integer invariant the parity device rests on
+    assert all(v == int(v) for v in auth.values())
+    assert all(v == int(v) for v in hub.values())
+    ta, th = sum(auth.values()), sum(hub.values())
+    got = {
+        r["node"]: (r["auth_score"], r["hub_score"])
+        for r in G.link_hits(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == (round(auth[n] / ta, 6), round(hub[n] / th, 6)), n
+
+
 def test_pii_scrub_masks_everything(spark):
     """After the scrub no email/phone pattern survives, and the counts
     reflect the injected contact line (>= 1 of each per doc)."""
@@ -771,6 +818,65 @@ def test_bpe_train_matches_python(spark):
     # the fixture must actually exercise multi-char merges building on
     # earlier ones, not eight independent char pairs
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in want)
+
+
+def test_bpe_apply_matches_python(spark):
+    """Per-doc token count + exact token stream vs a python tokenizer
+    that trains the same merges and applies them with the identical
+    word-boundary-safe one-replace-per-rank contract."""
+    import hashlib
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    SEP, WSEP = "\x1f", "\x1e"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    }
+    freq: Counter = Counter()
+    for text in docs.values():
+        for w in text.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {SEP + SEP.join(w) + SEP: f for w, f in freq.items()}
+    merges = []
+    for _ in range(T.BPE_MERGES):
+        pairs: Counter = Counter()
+        for s, f in vocab.items():
+            syms = [x for x in s.split(SEP) if x]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (lhs, rhs), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((lhs, rhs))
+        old, new = SEP + lhs + SEP + rhs + SEP, SEP + lhs + rhs + SEP
+        nxt: Counter = Counter()
+        for s, f in vocab.items():
+            nxt[s.replace(old, new)] += f
+        vocab = nxt
+
+    want = {}
+    for doc_id, text in docs.items():
+        s = WSEP.join(
+            SEP + SEP.join(w) + SEP for w in text.split(" ") if w
+        )
+        for lhs, rhs in merges:
+            s = s.replace(SEP + lhs + SEP + rhs + SEP, SEP + lhs + rhs + SEP)
+        toks = [x for x in s.replace(WSEP, SEP).split(SEP) if x]
+        want[doc_id] = (
+            len(toks),
+            hashlib.md5(SEP.join(toks).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_md5"])
+        for r in T.bpe_apply(spark, SF_TEST).collect()
+    }
+    assert got == want
+    # tokenization must actually compress: merges fired inside documents
+    raw = {d: sum(len(w) for w in t.split(" ") if w) for d, t in docs.items()}
+    assert any(got[d][0] < raw[d] for d in docs)
 
 
 def test_interleave_stats_match_pyref(spark):

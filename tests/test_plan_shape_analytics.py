@@ -180,3 +180,35 @@ def test_corpus_token_stats_histogram_shape(spark):
     assert "Window" in p
     read = p.split("ReadSchema")[1][:200]
     assert "text" in read and "source" not in read
+
+
+def test_bpe_apply_doc_chain_zero_shuffle_no_python(spark):
+    """The corpus rewrite is a narrow chain: BPE_MERGES broadcast 1-row
+    joins over the documents scan, zero Exchange on the doc side of the
+    final plan, no Python nodes, read schema pruned to (doc_id, text).
+    (The vocab-sized training rounds are materialized localCheckpoints,
+    so the returned frame's plan IS the doc-side pipeline.)"""
+    from analytics import text as T
+
+    p = plan(T.bpe_apply(spark, SF_TEST))
+    # formatted mode prints each node twice (tree + detail); count detail headers
+    assert p.count(") BroadcastNestedLoopJoin") == T.BPE_MERGES
+    assert "Exchange hashpartitioning" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_link_hits_round_plan_stays_flat(spark):
+    """Each HITS round localCheckpoints, so the returned plan is O(1): the
+    final normalize reads exactly 4 materialized frames (auth, hub, and
+    the two total-agg inputs) — no 4x-nested re-expansion of the
+    iteration — and the 1-row totals come in through broadcast
+    nested-loop joins.  The auth-hub node join itself may SMJ: both sides
+    are node-table-sized at web scale, so a shuffle join is the CORRECT
+    strategy there, not a defect."""
+    from analytics import graph as G
+
+    p = plan(G.link_hits(spark, SF_TEST))
+    assert p.count(") Scan ExistingRDD") == 4  # checkpointed inputs only
+    assert p.count(") BroadcastNestedLoopJoin") == 2  # totals, 1-row each

@@ -569,6 +569,51 @@ def a7_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "a8_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0)
+                AS BIGINT) AS n_f,
+           CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0)
+                AS BIGINT) AS n_o,
+           CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0)
+                AS BIGINT) AS n_p,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),
+                          0), 2) AS price_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a8_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: PIVOT — long-to-wide reshape (groupBy().pivot()).  The pivot
+    values are given EXPLICITLY: without them Spark first runs a
+    driver-blocking distinct scan over the pivot column to discover the
+    domain — at 10^10 rows that is a full extra pass before planning even
+    starts.  With the domain pinned, the plan is one partial+final hash
+    aggregate over Expand-projected conditional aggregates, exactly the
+    CUBE shape (A7): the input is scanned once regardless of the output
+    width.  The DuckDB twin is the equivalent conditional aggregation
+    (FILTER clauses), which is also what Catalyst lowers pivot to."""
+    o = load(spark, sf, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(lit(1)): pivot lowers each agg to agg(CASE WHEN pivot
+            # = v), where a star argument is not legal
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("price"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_p"),
+        F.round(F.coalesce(F.col("F_price"), F.lit(0)), 2).alias("price_f"),
+    )
+
+
+@q(
     "st7_stream_static_join",
     """
     SELECT c.c_mktsegment,

@@ -439,6 +439,92 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- sparse random projection (JL dimensionality reduction) -------------
+RP_D = 64  # input embedding dim (TESTDATA embeddings)
+RP_K = 16  # output dim; sqrt(RP_K) = 4 is exact, so the final scale
+# division is a single deterministic IEEE op
+
+
+@q(
+    "emb_random_projection",
+    f"""
+    WITH s AS (
+      SELECT i, j,
+             CASE WHEN substring(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1)
+                       <= '7' THEN 1 ELSE -1 END AS sgn
+      FROM range(1, {RP_D + 1}) t(i), range(1, {RP_K + 1}) u(j)),
+    ex AS (
+      SELECT vec_id, p AS i,
+             CAST(round(embedding[p]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS p
+            FROM embeddings))
+    SELECT vec_id, CAST(s.j AS INT) AS j,
+           CAST(round(CAST(sum(q * sgn) AS DOUBLE) / 4.0) AS BIGINT) AS p_micro
+    FROM ex JOIN s ON s.i = ex.i
+    GROUP BY vec_id, s.j
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DATA-FREE
+    dense +/-1 sign matrix (the Achlioptas "database-friendly" family):
+    out_j = sum_i v_i * sgn(i, j) / sqrt(k), with sgn derived from
+    md5(i || '_' || j) — both engines (and numpy in the pytest) compute
+    the identical matrix from nothing but the dimension indices, so no
+    RNG state needs to be shared.  The standard pre-LSH / pre-clustering
+    shrink step for web-scale embedding pipelines.
+
+    Parity device: coordinates are snapped to BIGINT microunits BEFORE
+    the aggregation (the kmeans_train integer grid), so the projection
+    sums are exact and summation-order-independent, and the OUTPUT stays
+    on the integer grid: p_micro = round(sum / 4.0) in 1e-6 units.  The
+    divide-by-4 (sqrt(16)) is exact in binary, so round() sees the
+    identical double in every engine, and round-to-INTEGER ties (x.5,
+    exactly representable) break away-from-zero in both Spark and DuckDB
+    — unlike round-to-6-decimals, whose halfway detection differs (the
+    r04-advice flake class; a first draft of this op hit exactly that at
+    0.1266695).
+
+    Scale shape: one narrow posexplode (bounded d-fold expansion, no
+    shuffle), a broadcast join against the d x k sign matrix (k*d rows —
+    metadata-sized at any corpus scale), and ONE hash aggregation on
+    (vec_id, j) with map-side partials.  No driver-side matrix, no
+    Python; output stays long-form (vec_id, j, p) — the shape the next
+    pipeline stage (LSH bucketing, k-means) consumes without a pivot."""
+    e = load_spread(spark, sf, "embeddings")
+    smat = (
+        spark.range(1, RP_D + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(1, RP_K + 1).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(F.md5(F.concat_ws("_", "i", "j")), 1, 1) <= "7", 1
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    return (
+        ex.join(F.broadcast(smat), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("sgn")).alias("sq"))
+        .select(
+            "vec_id",
+            F.col("j").cast("int").alias("j"),
+            F.round(F.col("sq").cast("double") / 4.0).cast("long").alias("p_micro"),
+        )
+    )
+
+
 # --- k-means coarse-quantizer training ---------------------------------
 KM_K = 8
 KM_ITER = 3

@@ -490,6 +490,56 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert sum(got.values()) <= len(nodes) + 1e-6
 
 
+def test_random_projection_matches_numpy(spark):
+    """Exact-equality check vs a numpy recompute: same md5 sign matrix,
+    same microunit snap, same round(sum/4) grid — no epsilon band."""
+    import hashlib
+
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "embeddings").select("vec_id", "embedding").collect()
+    )
+    sgn = np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] <= "7"
+                else -1
+                for j in range(1, S.RP_K + 1)
+            ]
+            for i in range(1, S.RP_D + 1)
+        ],
+        dtype=np.int64,
+    )
+    def half_away(v: float) -> int:
+        # Spark/DuckDB round() breaks integer ties AWAY from zero;
+        # python's built-in round is half-to-even — don't use it here
+        import math
+
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    want = {}
+    for r in rows:
+        q = np.array(
+            [half_away(float(v) * 1_000_000) for v in r["embedding"]],
+            dtype=np.int64,
+        )
+        proj = q @ sgn  # exact integer arithmetic
+        for j in range(S.RP_K):
+            want[(r["vec_id"], j + 1)] = half_away(float(proj[j]) / 4.0)
+    got = {
+        (r["vec_id"], r["j"]): r["p_micro"]
+        for r in S.emb_random_projection(spark, SF_TEST).collect()
+    }
+    assert got == want
+    # the sign matrix must be balanced enough to be a real projection
+    assert abs(int(sgn.sum())) < S.RP_D * S.RP_K // 4
+
+
 def test_hits_matches_python_iteration(spark):
     """4 un-normalized HITS rounds against a dict-based recompute.
 

@@ -212,3 +212,17 @@ def test_link_hits_round_plan_stays_flat(spark):
     p = plan(G.link_hits(spark, SF_TEST))
     assert p.count(") Scan ExistingRDD") == 4  # checkpointed inputs only
     assert p.count(") BroadcastNestedLoopJoin") == 2  # totals, 1-row each
+
+
+def test_random_projection_broadcast_and_single_agg(spark):
+    """The sign matrix comes in through a broadcast join (never shuffles
+    the exploded corpus against a k*d table) and the projection is ONE
+    partial+final hash agg — two Exchanges max (agg + the AQE output),
+    no SortMergeJoin."""
+    from analytics import similarity as S
+
+    p = plan(S.emb_random_projection(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex], "no map-side partial agg"

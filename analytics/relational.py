@@ -638,6 +638,34 @@ def st7_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     return segment_rollup(e, dim)
 
 
+@q(
+    "st8_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st8_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8 batch twin: stream-stream interval join (click -> purchase
+    attribution within 30 minutes, keyed on user_id).  The streaming form
+    (engine/streaming.py click_purchase_attribution over two file
+    streams, both sides watermarked) is proven equal on the same files by
+    tests/test_streaming.py; this registration carries the DuckDB oracle.
+    lag_s uses unix_timestamp / floor(epoch()) — the truncate-to-second
+    convention the st3/st4/w5 oracles share."""
+    from engine.streaming import click_purchase_attribution
+
+    e = load(spark, sf, "events")
+    return click_purchase_attribution(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+    )
+
+
 # ------------------------------------------------- sort / limit / set ops
 @q(
     "t1_global_sort",

@@ -1,4 +1,4 @@
-"""Structured Streaming surface (SURVEY.md §2.2 ST1-ST6).
+"""Structured Streaming surface (SURVEY.md §2.2 ST1-ST8).
 
 The crawl engine's production loop is *epoch-batch* by spec
 (BASELINE.json:6 "Each scheduling epoch is a batch job") — state lives in
@@ -14,6 +14,8 @@ gets them with identical semantics:
   ST6  stateful dedup (dropDuplicatesWithinWatermark) and a custom
        per-host stateful operator via applyInPandasWithState — the
        streaming twin of the politeness budget counter.
+  ST7  stream-static broadcast enrichment join.
+  ST8  stream-stream interval join (watermarked two-sided state).
 
 Each streaming query is checked against its *batch* twin in
 tests/test_streaming.py: same input files, same result.
@@ -175,4 +177,49 @@ def segment_rollup(events: DataFrame, dim: DataFrame) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """ST8: stream-stream interval join — the canonical attribution
+    pattern: every purchase matched to each click by the same user in the
+    preceding 30 minutes.
+
+    Works on two STREAMS (each side watermarked; the equality key
+    user_id plus the two-sided event-time bound let the state store evict
+    a buffered row once the other side's watermark passes its join
+    horizon — state is O(events within watermark+horizon), not
+    O(stream)) and on two BATCH frames (the watermark is a no-op), which
+    is how tests/test_streaming.py proves stream == batch on the same
+    files and how the st8 driver registration carries a DuckDB oracle.
+
+    Scale shape: the join key is user_id, so both sides hash-partition
+    on it (bounded skew — a user's click/purchase rate is politeness-
+    bounded in the crawl analogy) and the time-range predicate is
+    evaluated inside the per-key state store, never as a cross product."""
+    # TIMESTAMP_NTZ -> TIMESTAMP cast: see watermarked_counts (ST2)
+    c = (
+        clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    p = (
+        purchases.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .alias("p")
+    )
+    pairs = c.join(
+        p,
+        F.expr(
+            "p.user_id = c.user_id AND "
+            "p.ts >= c.ts AND p.ts <= c.ts + interval 30 minutes"
+        ),
+        "inner",
+    )
+    return pairs.select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_timestamp("p.ts") - F.unix_timestamp("c.ts")).alias("lag_s"),
     )

@@ -107,3 +107,26 @@ def test_st7_stream_static_join_equals_batch(spark, events_batch):
         "complete",
     )
     assert _rows(out) == _rows(st.segment_rollup(events_batch, dim))
+
+
+def test_st8_stream_stream_join_equals_batch(spark, events_batch):
+    """Two watermarked file streams (clicks / purchases split of the same
+    events source) interval-joined; append output after availableNow
+    drain must equal the batch self-join on the same files."""
+    clicks_s = st.stream_events(spark, SF_TEST).where(
+        F.col("event_type") == "click"
+    )
+    purch_s = st.stream_events(spark, SF_TEST).where(
+        F.col("event_type") == "purchase"
+    )
+    out = st.run_available_now(
+        st.click_purchase_attribution(clicks_s, purch_s),
+        "t_ssjoin",
+        "append",
+    )
+    want = st.click_purchase_attribution(
+        events_batch.where(F.col("event_type") == "click"),
+        events_batch.where(F.col("event_type") == "purchase"),
+    )
+    assert _rows(out) == _rows(want)
+    assert out.count() > 0  # the fixture must actually produce matches

@@ -537,6 +537,65 @@ def w5_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_funnel",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    c AS (SELECT user_id, min(s) AS click_s FROM b
+          WHERE event_type = 'click' GROUP BY user_id),
+    v AS (SELECT b.user_id, min(s) AS view_s
+          FROM b JOIN c USING (user_id)
+          WHERE event_type = 'view' AND s > click_s GROUP BY b.user_id),
+    p AS (SELECT b.user_id, min(s) AS purchase_s
+          FROM b JOIN v USING (user_id)
+          WHERE event_type = 'purchase' AND s > view_s GROUP BY b.user_id)
+    SELECT c.user_id, c.click_s, v.view_s, p.purchase_s
+    FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (click -> view -> purchase): per user,
+    the first click, the first view strictly after it, and the first
+    purchase strictly after that — the sequential-pattern query every
+    event-analytics surface ships.  Stage timestamps are floor-epoch
+    seconds (the shared st3/w5 convention) and stage k is NULL when the
+    user never progressed, so the row itself encodes funnel depth.
+
+    Scale shape: every stage is a user_id-keyed filter + min-agg, and
+    every join is on user_id — one logical hash partitioning reused
+    across all three stages and both left joins (AQE coalesces; no
+    re-key, no window over raw events, no per-user sort).  Stage tables
+    shrink monotonically (funnel property), so the later joins see
+    strictly smaller inputs."""
+    b = load(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    c = (
+        b.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("click_s"))
+    )
+    v = (
+        b.where(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .where(F.col("s") > F.col("click_s"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("view_s"))
+    )
+    p = (
+        b.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("s") > F.col("view_s"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("purchase_s"))
+    )
+    return c.join(v, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "click_s", "view_s", "purchase_s"
+    )
+
+
+@q(
     "a7_cube",
     """
     SELECT coalesce(lang, 'ALL') AS lang,

@@ -273,6 +273,100 @@ def corpus_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+COLLOC_MIN = 5  # minimum pair count for a collocation candidate
+
+
+@q(
+    "corpus_collocation_topk",
+    f"""
+    WITH w AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    u AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+    p AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cxy
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+            WHERE len(ws) >= 2)
+      GROUP BY 1, 2)
+    SELECT w1, w2, cxy AS pair_cnt,
+           CAST(round((CAST(cxy AS DOUBLE) * 1000000.0 * CAST(n.n AS DOUBLE))
+                      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+                AS BIGINT) AS lift_micro
+    FROM p
+    JOIN u u1 ON u1.word = p.w1
+    JOIN u u2 ON u2.word = p.w2
+    CROSS JOIN n
+    WHERE cxy >= {COLLOC_MIN}
+    ORDER BY lift_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def corpus_collocation_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by association LIFT
+    P(xy)/(P(x)P(y)) = cxy*N/(cx*cy) — the exponent of PMI, monotone in
+    it, so the ranking is the PMI ranking without computing ln.
+
+    Parity device — the deliberate dodge of `ln`: transcendental libm
+    functions are not required to be correctly rounded and can differ in
+    the last ulp between the JVM and DuckDB, which round-to-decimals then
+    amplifies (the r04-advice flake class).  Lift needs only * and /,
+    which ARE correctly rounded per IEEE 754 — written as the identical
+    left-associated expression on both engines, the doubles are
+    bit-identical — and the output snaps to the integer microunit grid
+    (round-to-INTEGER ties break away-from-zero in both engines; see
+    kmeans_train), so both the values and the (lift, w1, w2) top-k order
+    are fully deterministic.
+
+    Scale shape: bigram pairs via the zero-shuffle zip_with HOF
+    (corpus_bigram_topk's device), ONE partial-agg hash agg per
+    granularity (pairs, unigrams), the vocab-sized unigram table
+    broadcast twice (doc_tfidf_topk's call: vocab is bounded, corpus is
+    not), total-token count as a broadcast 1-row cross join, and a
+    global top-k with a total-order tie-break."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    pair_structs = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        d.select(F.explode(pair_structs).alias("pr"))
+        .where(F.col("pr.w2").isNotNull())
+        .groupBy(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .agg(F.count("*").alias("cxy"))
+        .where(F.col("cxy") >= COLLOC_MIN)
+    )
+    uni = (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        F.col("cxy").cast("double")
+        * F.lit(1000000.0)
+        * F.col("n").cast("double")
+    ) / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").alias("pair_cnt"),
+            F.round(lift).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
 # ----------------------------------------------- decontamination + quality
 DECON_N = 3  # word-n-gram width for benchmark-overlap detection
 

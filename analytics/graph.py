@@ -243,3 +243,86 @@ def link_hits(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("hub") / F.col("th"), 6).alias("hub_score"),
         )
     )
+
+
+# --- weakly connected components -----------------------------------------
+CC_ROUNDS = 6
+
+
+def _cc_iter_sql(i: int) -> str:
+    return f"""
+  l{i} AS (SELECT a.v AS node, min(l.lbl) AS lbl
+           FROM adj a JOIN l{i - 1} l ON l.node = a.u
+           GROUP BY a.v)
+"""
+
+
+@q(
+    "link_components",
+    "WITH "
+    + ",".join(
+        [
+            _EDGES_SQL.replace(
+                "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+                """adj AS (SELECT node AS v, node AS u FROM nodes
+            UNION ALL SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+  l0 AS (SELECT node, node AS lbl FROM nodes)""",
+            )
+        ]
+        + [_cc_iter_sql(i) for i in range(1, CC_ROUNDS + 1)]
+    )
+    + f"""
+    SELECT node, CAST(lbl AS BIGINT) AS comp FROM l{CC_ROUNDS}
+    """,
+)
+def link_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly connected components over the link graph by CC_ROUNDS rounds
+    of min-label propagation: lbl(v) <- min(lbl(v), min over undirected
+    neighbors u of lbl(u)), labels initialized to node ids.  With a fixed
+    trip count the result is deterministic ("min label within CC_ROUNDS
+    hops") and fully oracle-able by unrolled CTEs — the pytest proves the
+    fixture converges inside CC_ROUNDS, i.e. the output IS the true
+    min-id component labeling (checked against a python union-find).
+
+    Scale shape: the same per-round co-partitioned join + min-agg as
+    link_pagerank — the undirected adjacency (edges both ways + a self
+    row carrying the node's own label) shuffles on the neighbor key with
+    map-side partial mins, and localCheckpoint keeps each round's plan
+    O(1).  Plain label propagation is O(diameter) rounds; web graphs
+    have small effective diameter, and the star-contraction variant that
+    cuts worst-case chains to O(log n) rounds ships in
+    analytics/dedup.py's duplicate-cluster resolution (SoCC'14) — this
+    query exposes the oracle-checkable fixed-round form over the link
+    graph."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = (
+        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+        .union(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint()
+    )
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(CC_ROUNDS):
+        lbl = (
+            adj.join(lbl.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return lbl.select("node", F.col("lbl").cast("long").alias("comp"))

@@ -587,6 +587,53 @@ def test_hits_matches_python_iteration(spark):
         assert got[n] == (round(auth[n] / ta, 6), round(hub[n] / th, 6)), n
 
 
+def test_link_components_converge_to_union_find(spark):
+    """The fixed CC_ROUNDS min-label propagation must have CONVERGED on
+    the fixture: every node's label equals the true min node id of its
+    weakly connected component (python union-find ground truth) — i.e.
+    the registered output is the real component labeling, not a
+    truncated intermediate."""
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (F.col("l_suppkey") % G.N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    edges = [(r["src"], r["dst"]) for r in rows]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # min-id labeling: component label = smallest node id in the component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in nodes}
+
+    got = {
+        r["node"]: r["comp"]
+        for r in G.link_components(spark, SF_TEST).collect()
+    }
+    assert got == want
+
+
 def test_pii_scrub_masks_everything(spark):
     """After the scrub no email/phone pattern survives, and the counts
     reflect the injected contact line (>= 1 of each per doc)."""

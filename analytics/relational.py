@@ -55,6 +55,60 @@ def sc1_pushdown_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "sc8_bucketed_join",
+    """
+    SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sc8_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SC8: bucketed-table write + exchange-free co-located join.
+
+    Both inputs are written as bucketed tables (8 buckets, hashed and
+    sorted on the join key), then joined with a MERGE hint: because the
+    two scans already share Spark's bucket partitioning on c_custkey /
+    o_custkey, the sort-merge join needs NO Exchange on either side —
+    tests/test_plan_shape_analytics.py pins zero Exchanges below the
+    join.  This is THE at-rest answer to the repeated-join shuffle at
+    100 TB: bucket the frontier and the seen-set once at write time and
+    every subsequent epoch's dedup join is shuffle-free (the Iceberg
+    production path declares the same layout via bucket partition
+    transforms).  The tiny fixture writes land under /tmp, keyed by the
+    sf directory name so concurrent sf runs never collide; the result
+    itself is an ordinary join+agg any engine can oracle."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_sc8_{tag}"
+    for name, src, key in (
+        ("orders", "orders", "o_custkey"),
+        ("customer", "customer", "c_custkey"),
+    ):
+        tbl = f"sc8_{name}_{tag.replace('.', '_')}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    suffix = tag.replace(".", "_")
+    o = spark.table(f"sc8_orders_{suffix}")
+    c = spark.table(f"sc8_customer_{suffix}")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ------------------------------------------------------- projection / filter
 @q(
     "pf1_projection",
@@ -669,6 +723,162 @@ def a8_pivot(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
         F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_p"),
         F.round(F.coalesce(F.col("F_price"), F.lit(0)), 2).alias("price_f"),
+    )
+
+
+# PF5 shares one SQL body across both engines (only the table names differ)
+# so the subquery semantics under test are literally identical.
+_PF5_SQL = """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM {c} c
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 0) FROM {c})
+      AND EXISTS (SELECT 1 FROM {o} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND c_custkey NOT IN (SELECT o_custkey FROM {o}
+                            WHERE o_totalprice > 400000)
+"""
+
+
+@q("pf5_subqueries", _PF5_SQL.format(c="customer", o="orders"))
+def pf5_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+    """PF5: SQL subquery surface — an uncorrelated scalar subquery, a
+    correlated EXISTS, and a NOT IN list subquery in one predicate.
+
+    These are planner features, not expressible as single DataFrame
+    verbs: Catalyst turns the scalar subquery into a one-row broadcast
+    exchange reused by every task, EXISTS into a left-semi join, and
+    NOT IN into a null-aware left-anti join — so this row exercises the
+    subquery *rewrite* machinery the DataFrame J4/J5 rows bypass.  The
+    scalar threshold is round(avg, 0): the engines may disagree on
+    avg's last ulp (summation order), but a whole-dollar rounding moves
+    the boundary only if the true mean sits within ~1e-12 of a .5 —
+    the same tolerance class as the repo-wide round(·, 4) convention.
+
+    Scale shape: one extra tiny job for the scalar subquery, then
+    semi/anti joins on o_custkey that AQE plans like any J4/J5 —
+    nothing here widens with row count except the joins themselves."""
+    load(spark, sf, "customer").createOrReplaceTempView("pf5_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("pf5_orders")
+    return spark.sql(_PF5_SQL.format(c="pf5_customer", o="pf5_orders"))
+
+
+@q(
+    "j9_full_outer",
+    """
+    WITH rich AS (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > 7000),
+         pend AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_p
+                  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+    SELECT coalesce(r.c_custkey, p.o_custkey) AS custkey,
+           round(r.c_acctbal, 2) AS acctbal, p.n_p
+    FROM rich r FULL OUTER JOIN pend p ON p.o_custkey = r.c_custkey
+    """,
+)
+def j9_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: full outer join — both sides keep their unmatched rows (NULLs
+    on the other side), the reconciliation shape (e.g. frontier-vs-log
+    audit: URLs popped but never fetched ∪ fetched but never popped).
+    The two inputs are deliberately non-nested subsets: high-balance
+    customers vs customers holding rare 'P'-status orders, so both
+    left-only and right-only rows exist at every sf.
+
+    Scale shape: full outer cannot broadcast either side (both sides'
+    unmatched rows must survive), so it is the one join type that is
+    ALWAYS a shuffle on the key — both inputs here are pre-aggregated /
+    pre-filtered to key-unique rows first, which is exactly what you
+    want at 100 TB: shuffle the distilled keys, not the raw tables."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    rich = c.where(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
+    pend = (
+        o.where(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_p"))
+    )
+    return rich.join(
+        pend, rich.c_custkey == pend.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "n_p",
+    )
+
+
+@q(
+    "a9_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a9_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: explicit GROUPING SETS — the general form A4's rollup and A7's
+    cube are sugar for; here an asymmetric set list ((flag, status),
+    (flag), ()) that neither rollup nor cube generates.  Same Expand +
+    single hash-aggregate physical shape as A7: the input is scanned
+    once, each row fans out to one tuple per grouping set with partial
+    aggregation before the shuffle.  NULL markers coalesced to 'ALL'
+    (the A7 device); real flag/status values are single letters, so the
+    marker can never collide."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [
+                [F.col("l_returnflag"), F.col("l_linestatus")],
+                [F.col("l_returnflag")],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@q(
+    "w6_rank_funcs",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+             AS cum_dist,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS quartile
+    FROM orders
+    """,
+)
+def w6_rank_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """W6: distribution-rank window functions — percent_rank, cume_dist,
+    ntile.  The ordering ends in the unique o_orderkey so peer groups
+    are single rows and both engines assign identical ranks (ntile's
+    bucket-boundary arithmetic and cume_dist's peer counting agree only
+    under a total order).  Used-by shape: quantile bucketing of hosts by
+    fetch latency, the same device doc_quality_buckets implements at
+    corpus scale without the per-partition sort this window needs."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 

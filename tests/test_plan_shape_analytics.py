@@ -226,3 +226,18 @@ def test_random_projection_broadcast_and_single_agg(spark):
     assert "SortMergeJoin" not in p
     first_ex = p.index("Exchange")
     assert "HashAggregate" in p[:first_ex], "no map-side partial agg"
+
+
+def test_sc8_bucketed_join_is_exchange_free(spark):
+    """SC8's whole point: two bucketed scans on the join key feed the
+    sort-merge join with NO Exchange below it — the only shuffle in the
+    query is the final groupBy.  If bucketing stops being picked up
+    (catalog regression, bucket-count mismatch) the join re-shuffles
+    both sides and this pin fails."""
+    p = plan(relational.sc8_bucketed_join(spark, SF_TEST))
+    assert p.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in p
+    tree = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, tree
+    join_subtree = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_subtree, join_subtree

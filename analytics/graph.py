@@ -326,3 +326,132 @@ def link_components(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint()
         )
     return lbl.select("node", F.col("lbl").cast("long").alias("comp"))
+
+
+# --- triangle counting / clustering coefficient ----------------------------
+_TRI_SQL = f"""
+WITH {_EDGES_SQL.replace("pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)", '''und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges GROUP BY 1, 2),
+  udeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           GROUP BY n),
+  o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS dst
+        FROM und u
+        JOIN udeg da ON da.n = u.a
+        JOIN udeg db ON db.n = u.b),
+  tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+          FROM o e1
+          JOIN o e2 ON e2.src = e1.src AND e2.dst != e1.dst
+          JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+  per AS (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+  cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+          FROM per GROUP BY node)''')}
+SELECT n.node,
+       coalesce(c.triangles, 0) AS triangles,
+       round(CASE WHEN d.d >= 2
+                  THEN 2.0 * coalesce(c.triangles, 0) / (d.d * (d.d - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM nodes n
+JOIN udeg d ON d.n = n.node
+LEFT JOIN cnt c ON c.node = n.node
+"""
+
+
+@q("link_triangles", _TRI_SQL)
+def link_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected link graph — the density/community signal a crawl corpus
+    report carries next to PageRank (link farms score near-clique
+    clustering; genuine hub pages score low).
+
+    Algorithm: degree-ordered orientation (Schank & Wagner 2005; the MR
+    formulation is Suri & Vassilvitskii, WWW'11 "Counting triangles and
+    the curse of the last reducer").  Each undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so every
+    triangle {x,y,z} is found EXACTLY once: as the wedge at its
+    least-(degree, id) vertex x closed by the oriented edge y->z (the
+    wedge enumerates both (y,z) orders; only one matches the edge's
+    unique orientation).
+
+    Scale shape — the "last reducer" question: a naive wedge join
+    enumerates sum(deg^2) pairs, and the one celebrity node with deg
+    10^7 makes one task enumerate 10^14 wedges.  Orientation caps
+    oriented out-degree at O(sqrt(m)) for ANY degree distribution, so
+    the wedge self-join is O(m^1.5) TOTAL and, more importantly,
+    per-key work is bounded — no hot reducer.  Both joins are plain
+    equi-joins on src / (src,dst): partial aggregation combines
+    map-side, AQE splits residual skew.  The triangle->vertex fan-out
+    (3 rows per triangle) then one hash agg per node."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    udeg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    da = udeg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = udeg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    e3 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "x")
+        .where(F.col("y") != F.col("z"))
+        .join(e3, ["y", "z"])
+    )
+    per = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    cnt = per.groupBy("node").agg(F.count("*").alias("triangles"))
+    nodes = udeg.select(F.col("n").alias("node"), "d")
+    return (
+        nodes.join(cnt, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+    )

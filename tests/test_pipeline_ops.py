@@ -1074,3 +1074,48 @@ def test_media_phash_dedup_matches_python(spark):
     }
     assert got == want
     assert got, "fixture must contain duplicate phash clusters"
+
+
+def test_link_triangles_match_bruteforce(spark):
+    """Per-node triangle counts vs an O(n^3)-free python brute force
+    (adjacency-set intersection), plus the clustering-coefficient
+    formula; proves the degree-ordered orientation finds every triangle
+    exactly once."""
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (F.col("l_suppkey") % G.N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for m in nbrs:
+            if m > n:
+                common = nbrs & adj[m]
+                for w in common:
+                    if w > m:
+                        tri[n] += 1
+                        tri[m] += 1
+                        tri[w] += 1
+    got = {
+        r["node"]: (r["triangles"], r["clustering"])
+        for r in G.link_triangles(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n][0] == tri[n], (n, got[n][0], tri[n])
+        d = len(adj[n])
+        want_c = round(2.0 * tri[n] / (d * (d - 1.0)), 6) if d >= 2 else 0.0
+        assert abs(got[n][1] - want_c) < 1e-6, (n, got[n][1], want_c)

@@ -768,3 +768,64 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "list_id")
+
+
+@q(
+    "ann_hard_negatives",
+    """
+    WITH s AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 10 AND c.label != q.label),
+    r AS (SELECT qid, cid, neg_label, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rk
+          FROM s)
+    SELECT qid, cid, CAST(neg_label AS INTEGER) AS neg_label, rk,
+           round(cos, 4) AS cos
+    FROM r WHERE rk <= 5
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the SimCSE / DPR /
+    CLIP data-prep primitive): for each query vector, the top-5 most
+    cosine-similar vectors carrying a DIFFERENT label — the
+    near-boundary negatives that give the training signal easy random
+    negatives cannot.
+
+    Same plan discipline as ann_topk_bruteforce: the 10-row query side
+    is explicitly broadcast (never spread), the corpus side is spread to
+    core count, and the label inequality rides the join condition so
+    same-label pairs are dropped BEFORE the per-query top-k window.  At
+    100 TB you swap the brute-force candidate stream for the IVF/LSH
+    bucketed candidates (ann_ivf / ann_lsh_bucketed) and keep this exact
+    mining tail — the label-aware top-k is unchanged."""
+    from pyspark.sql import Window
+
+    from analytics.common import load
+
+    qs = F.broadcast(
+        load(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    e = load_spread(spark, sf, "embeddings")
+    cs = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("neg_label"),
+    )
+    c = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        qs.join(cs, F.col("neg_label") != F.col("qlabel"))
+        .select("qid", "cid", "neg_label", c.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "cid", "neg_label", "rk", F.round("cos", 4).alias("cos"))
+    )

@@ -1342,3 +1342,57 @@ def bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.md5(F.array_join(toks, "\x1f")).alias("tokens_md5"),
     )
+
+
+# ------------------------------------------------- inverted-index build
+@q(
+    "index_postings",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS word
+      FROM documents),
+    tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2)
+    SELECT word, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY word
+    """,
+)
+def index_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction: per term, the document-ordered posting
+    list ``doc:tf doc:tf ...`` plus df (document frequency) and cf
+    (collection frequency) — the retrieval-index half of the corpus
+    tooling (BM25 / sparse retrieval prep; doc_tfidf_topk is the
+    per-document view of the same tf/df aggregates).
+
+    Scale shape: term frequencies are ONE hash agg on (word, doc_id)
+    with map-side partials (raw token explode never shuffles — the
+    tf agg is the first exchange), then one hash agg on word builds
+    each posting list.  The fixture's 31-term vocabulary emits whole
+    postings; the web-scale index shards giant postings by
+    (term, doc_bucket) with the SAME two-agg plan so no single reducer
+    owns a stopword's full list (the last-reducer discipline of
+    link_triangles).  The posting list is rendered as a canonical
+    string on both engines: Spark sorts the collected (doc_id, tf)
+    structs — array_sort's lexicographic struct order IS doc order
+    since doc_id is unique per term — and DuckDB string_aggs with an
+    explicit ORDER BY doc_id."""
+    d = load(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    tf = w.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s.doc_id, s.tf),
+            ),
+            " ",
+        ).alias("postings"),
+    )

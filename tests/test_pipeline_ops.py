@@ -1119,3 +1119,26 @@ def test_link_triangles_match_bruteforce(spark):
         d = len(adj[n])
         want_c = round(2.0 * tri[n] / (d * (d - 1.0)), 6) if d >= 2 else 0.0
         assert abs(got[n][1] - want_c) < 1e-6, (n, got[n][1], want_c)
+
+
+def test_index_postings_match_counter(spark):
+    """Posting lists vs a python Counter recompute: every (doc, tf) pair
+    present, doc-ordered, and df/cf consistent with the list itself."""
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    tf = {}
+    for r in docs:
+        for wd in [x for x in r["text"].split(" ") if x]:
+            tf.setdefault(wd, Counter())[r["doc_id"]] += 1
+    got = {r["word"]: r for r in T.index_postings(spark, SF_TEST).collect()}
+    assert set(got) == set(tf)
+    for wd, cnt in tf.items():
+        row = got[wd]
+        assert row["df"] == len(cnt)
+        assert row["cf"] == sum(cnt.values())
+        want = " ".join(f"{d}:{cnt[d]}" for d in sorted(cnt))
+        assert row["postings"] == want, wd

@@ -48,27 +48,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Run-order: the driver records only the first 50 registered queries per
-# round, so each round front-registers the entries with the STALEST driver
-# signal.  r05 (VERDICT r04 task 1): the two brand-new ops, the three
-# queries whose plan or oracle changed THIS round after their r04 driver
-# row (w5 oracle epoch-floor fix, kmeans integer-grid centroids, minhash
-# single signature join-back), then all 43 queries whose last driver row
-# is r02/r03 — after this window every registered query's driver evidence
-# is ≤ 1 round old.
+# round, so each round front-registers the entries with the WEAKEST driver
+# evidence.  r05 priority ladder:
+#   1. the 18 round-5 ops with NO driver row in any round (oracle-backed
+#      local parity only),
+#   2. the 3 queries whose plan or oracle changed this round after their
+#      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
+#      centroids, minhash single signature join-back),
+#   3. as many of the r02/r03-stale queries as the remaining 29 slots
+#      hold.  The 14 dropped from the window are the 6 stale rows-only
+#      entries (a fresh driver row would still be a weak rows-only check;
+#      their real evidence is pytest) and 8 trivial-plan relational rows —
+#      all 14 pass the in-repo parity mirror (tests/test_analytics_parity)
+#      on current code and none changed since their last green driver row.
 _FRONT = (
-    # new round-5 ops (first driver run)
+    # 1. no driver row yet (first driver run)
     "doc_remove_dup_spans",
     "bpe_train",
     "bpe_apply",
     "link_hits",
-    # plan/oracle changed in r05 after their r04 driver row
+    "events_funnel",
+    "a8_pivot",
+    "st8_stream_stream_join",
+    "emb_random_projection",
+    "corpus_collocation_topk",
+    "link_components",
+    "link_triangles",
+    "pf5_subqueries",
+    "j9_full_outer",
+    "a9_grouping_sets",
+    "w6_rank_funcs",
+    "sc8_bucketed_join",
+    "ann_hard_negatives",
+    "index_postings",
+    # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
     "dedup_minhash_lsh",
-    # last driver row r03: relational surface
-    "pf2_predicates",
-    "pf3_null_safe",
-    "pf4_like_rlike",
+    # 3. last driver row r03: relational surface
     "j1_broadcast_join",
     "j2_shuffle_join_agg",
     "j3_left_outer_join",
@@ -76,37 +93,26 @@ _FRONT = (
     "j5_left_semi_join",
     "j6_range_join",
     "j7_asof_join",
-    "j8_cross_join",
     "a1_hash_agg",
-    "a2_count_distinct",
-    "a3_approx_distinct",
     "a4_rollup",
     "a5_collect_list_ordered",
-    "a6_global_agg",
     "w1_row_number_topk",
     "w2_rank_dense",
     "w3_lag_lead",
     "w4_running_sum",
-    "t1_global_sort",
     "st5_session_window",
-    # last driver row r03: crawl-dataflow queries
+    # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)
     "frontier_pop",
     "frontier_merge",
     "robots_longest_prefix",
     "canonicalize_urls",
-    "seed_ingest",
-    "url_keys",
-    "synth_fetch_spans",
-    "bloom_probe",
-    # last driver row r03: dedup / sampling / pipeline / similarity / text
+    # 3. last driver row r03: dedup / sampling / pipeline / text
     "dedup_exact",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",
     "doc_split_assign",
     "doc_mixture_rebalance",
-    "ann_ivf",
     "corpus_bigram_topk",
     "doc_decontaminate",
     "doc_repetition_score",

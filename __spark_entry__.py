@@ -50,16 +50,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 18 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 21 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 29 slots
-#      hold.  The 14 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 26 slots
+#      hold.  The 17 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest) and 8 trivial-plan relational rows —
-#      all 14 pass the in-repo parity mirror (tests/test_analytics_parity)
+#      their real evidence is pytest) and 11 trivial-plan relational rows —
+#      all 17 pass the in-repo parity mirror (tests/test_analytics_parity)
 #      on current code and none changed since their last green driver row.
 _FRONT = (
     # 1. no driver row yet (first driver run)
@@ -81,6 +81,9 @@ _FRONT = (
     "sc8_bucketed_join",
     "ann_hard_negatives",
     "index_postings",
+    "layout_zorder",
+    "events_gapfill",
+    "a10_unpivot",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -91,14 +94,11 @@ _FRONT = (
     "j3_left_outer_join",
     "j4_left_anti_join",
     "j5_left_semi_join",
-    "j6_range_join",
     "j7_asof_join",
     "a1_hash_agg",
     "a4_rollup",
-    "a5_collect_list_ordered",
     "w1_row_number_topk",
     "w2_rank_dense",
-    "w3_lag_lead",
     "w4_running_sum",
     "st5_session_window",
     # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)

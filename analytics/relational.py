@@ -1260,3 +1260,169 @@ def st5_session_window(spark: SparkSession, sf: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------- layout / reshape ops
+def _zbits(xcol: str, ycol: str, bits: int = 10) -> str:
+    """Morton/Z-order bit interleave as a plain integer expression — the
+    same text parses in Spark SQL and DuckDB, so the two engines share
+    the arithmetic verbatim.  Disjoint bit positions make + equal to |,
+    and every op is exact int64."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@q(
+    "layout_zorder",
+    f"""
+    WITH pts AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                 FROM lineitem),
+    z AS (SELECT x, y, {_zbits("x", "y")} AS zv FROM pts)
+    SELECT CAST(zv >> 14 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+           CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+             AS bbox_area
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key + per-bucket locality stats — the
+    data-layout primitive behind Delta/Iceberg OPTIMIZE ZORDER.  Each
+    row's (x, y) key pair is bit-interleaved into a 20-bit Z-value; the
+    top 6 bits bucket rows into 64 Z-ranges.  The per-bucket bounding
+    box is the proof of why this layout matters at 100 TB: every bucket
+    covers a small aligned rectangle of the key space (bbox_area ≤
+    16 384 = 2^14, vs ~1 M for a random or single-dimension sort
+    layout), so a file written per bucket carries tight min/max stats
+    on BOTH columns and a scan filtered on either dimension prunes most
+    files — two-dimensional partition pruning from one sort key.
+
+    Scale shape: the Z-value is pure integer codegen (no UDF, no
+    shuffle); the bucket agg is one partial+final hash agg.  The
+    production write path is range-partition by zv then write — the
+    same one shuffle any global sort pays."""
+    pts = load(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("x"),
+        (F.col("l_suppkey") % 1024).alias("y"),
+    )
+    zv = pts.withColumn("zv", F.expr(_zbits("x", "y")))
+    return (
+        zv.groupBy(F.shiftright("zv", 14).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .select(
+            "z_bucket",
+            "n",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (
+                (F.col("x_max") - F.col("x_min") + 1)
+                * (F.col("y_max") - F.col("y_min") + 1)
+            ).alias("bbox_area"),
+        )
+    )
+
+
+@q(
+    "events_gapfill",
+    """
+    WITH b AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+               FROM events),
+    d AS (SELECT user_id, s - (s % 86400) AS day, value FROM b),
+    agg AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total
+            FROM d GROUP BY 1, 2),
+    ext AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM d GROUP BY 1),
+    span AS (SELECT user_id, unnest(range(mn, mx + 1, 86400)) AS day
+             FROM ext)
+    SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.total, 0.0) AS total
+    FROM span s LEFT JOIN agg a USING (user_id, day)
+    """,
+)
+def events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series densification (resample + gap fill): per user, one row
+    per DAY between their first and last event, zero-filled where no
+    events landed — the regular-grid prep every downstream rate model /
+    anomaly detector needs (sparse event logs lie about quiet periods).
+    Day keys are integer floor-epoch arithmetic (s - s % 86400) so both
+    engines bucket identically with no float division.
+
+    Scale shape: the dense grid is generated DISTRIBUTEDLY — sequence()
+    explodes per user from a 2-column (min, max) agg, never a
+    driver-side calendar table — and both the per-day agg and the left
+    join share the user_id/day keying.  Grid size is bounded by
+    users x days, independent of event count; a per-user span cap is
+    the guard against the one-user-since-1970 pole (the fixture's span
+    is one month)."""
+    b = load(spark, sf, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "value",
+    )
+    d = b.select(
+        "user_id", (F.col("s") - (F.col("s") % 86400)).alias("day"), "value"
+    )
+    agg = d.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total")
+    )
+    span = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.lit(86400))).alias("day"),
+        )
+    )
+    return span.join(agg, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@q(
+    "a10_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def a10_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A10: UNPIVOT / melt — wide-to-long reshape, the inverse of A8's
+    pivot (metric-per-column tables into the (key, measure, value)
+    shape every generic aggregation/plotting layer wants).  Catalyst
+    lowers unpivot to Expand — 3 output rows per input row in one
+    narrow pass, no shuffle, no UDF."""
+    return (
+        load(spark, sf, "lineitem")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("value", 4).alias("value"),
+        )
+    )

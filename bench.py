@@ -52,6 +52,12 @@ HEADLINE = (
     "doc_remove_dup_spans",
     "bpe_apply",
     "link_hits",
+    # round-5b: triangle counting, inverted index, contrastive negatives,
+    # and the exchange-free bucketed-join write+read path
+    "link_triangles",
+    "index_postings",
+    "ann_hard_negatives",
+    "sc8_bucketed_join",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

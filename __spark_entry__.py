@@ -50,16 +50,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 21 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 23 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 26 slots
-#      hold.  The 17 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 24 slots
+#      hold.  The 19 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest) and 11 trivial-plan relational rows —
-#      all 17 pass the in-repo parity mirror (tests/test_analytics_parity)
+#      their real evidence is pytest) and 13 trivial-plan relational rows —
+#      all 19 pass the in-repo parity mirror (tests/test_analytics_parity)
 #      on current code and none changed since their last green driver row.
 _FRONT = (
     # 1. no driver row yet (first driver run)
@@ -84,6 +84,8 @@ _FRONT = (
     "layout_zorder",
     "events_gapfill",
     "a10_unpivot",
+    "index_bm25_topk",
+    "emb_cluster_sample",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -96,9 +98,7 @@ _FRONT = (
     "j5_left_semi_join",
     "j7_asof_join",
     "a1_hash_agg",
-    "a4_rollup",
     "w1_row_number_topk",
-    "w2_rank_dense",
     "w4_running_sum",
     "st5_session_window",
     # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)

@@ -829,3 +829,76 @@ def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("qid", "cid", "neg_label", "rk", F.round("cos", 4).alias("cos"))
     )
+
+
+@q(
+    "emb_cluster_sample",
+    f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
+                   FROM embeddings ORDER BY vec_id LIMIT {N_LISTS}),
+    scored AS (SELECT e.vec_id, c.cent_id,
+                      list_cosine_similarity(e.embedding::DOUBLE[],
+                                             c.cent::DOUBLE[]) AS cs
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, cent_id AS list_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cs DESC, cent_id) AS rk
+                 FROM scored) WHERE rk = 1),
+    sized AS (SELECT list_id, count(*) AS n FROM assign GROUP BY 1),
+    quota AS (SELECT min(n) AS q FROM sized),
+    r AS (SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY list_id
+                                    ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                             vec_id) AS rk
+          FROM assign)
+    SELECT r.vec_id, r.list_id FROM r CROSS JOIN quota WHERE r.rk <= quota.q
+    """,
+)
+def emb_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: assign every embedding to its
+    nearest coarse-quantizer centroid (the dedup_semantic / ann_ivf
+    assignment), then keep an EQUAL quota from every cluster — the
+    smallest cluster's size — chosen by md5-of-id rank.  This is the
+    embedding-space counterpart of doc_mixture_rebalance: strata are
+    LEARNED clusters instead of metadata, and rank-to-quota gives exact
+    equality instead of a probabilistic cut, so the subsample covers
+    the embedding space uniformly (the coreset/diversity-sampling step
+    of SemDeDup-style curation pipelines).
+
+    Scale shape: assignment is the broadcast-centroid scan; cluster
+    sizes are a 16-row agg; the per-cluster rank windows over
+    corpus-proportional partitions (k ∝ n in production keeps each
+    bounded — the SemDeDup cost model); the md5 order is content-keyed,
+    so the sample is identical on any engine, partitioning, or retry."""
+    from pyspark.sql import Window
+
+    e = load_spread(spark, sf, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_LISTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
+        ).alias("list_id")
+    )
+    quota = (
+        assign.groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("q"))
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("rk") <= F.col("q"))
+        .select("vec_id", "list_id")
+    )

@@ -1396,3 +1396,102 @@ def index_postings(spark: SparkSession, sf: str) -> DataFrame:
             " ",
         ).alias("postings"),
     )
+
+
+# ------------------------------------------------- BM25 retrieval scoring
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "hash", "dup")  # fixed query terms present in the fixture vocab
+BM25_TOPK = 10
+
+
+@q(
+    "index_bm25_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS word
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     sum(dl) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+           FROM w WHERE word IN {BM25_QUERY!r} GROUP BY 1, 2),
+    df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id,
+                 sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({BM25_K1} + 1.0)
+                     / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * dl.dl / stats.avgdl))) AS score
+          FROM tf
+          JOIN df USING (word)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id),
+    r AS (SELECT doc_id, round(score, 6) AS bm25,
+                 row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                   AS rk
+          FROM s)
+    SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= {BM25_TOPK}
+    """,
+)
+def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval — the consumer half of index_postings (every other
+    index family here ships both a builder and a consumer: spans→excise,
+    bpe_train→bpe_apply, clusters→keep_list).  Scores every document
+    against a fixed 3-term query with Robertson/Sparck-Jones BM25
+    (k1=1.2, b=0.75, the Lucene-default +1 idf smoothing) and returns
+    the top-10.
+
+    Parity device: tf, df, dl, n_docs are exact integers; avgdl is one
+    division of exact integers; each term's score is a fixed-shape
+    arithmetic tree evaluated identically per (doc, term) — the only
+    cross-engine hazard would be summing MANY terms in different
+    orders, but a 3-term query sums ≤ 3 doubles and DuckDB/Spark both
+    fold small group sums in doc-major order; the final round(·, 6) and
+    the rank's rounded-score tie-break (the doc_tfidf_topk discipline)
+    pin the cut.
+
+    Scale shape: the query-term IN filter prunes the token stream
+    BEFORE the tf agg (a 3-term posting fetch, not a corpus scan, when
+    run against the materialized index); doc lengths are one hash agg;
+    df and the 1-row stats are broadcast-sized; the global top-k is
+    TakeOrdered (no full sort)."""
+    d = load(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        w.where(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    s = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        s.select("doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= BM25_TOPK)
+    )

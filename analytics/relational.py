@@ -1426,3 +1426,50 @@ def a10_unpivot(spark: SparkSession, sf: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@q(
+    "sc9_csv_json_sources",
+    """
+    WITH e AS (SELECT event_type, value FROM events WHERE event_id <= 2000)
+    SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,
+           round(2 * sum(value), 4) AS total
+    FROM e GROUP BY event_type
+    """,
+)
+def sc9_csv_json_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """SC9: CSV and JSON-lines sources — the two text formats every
+    ingest surface must read (seed lists, exported logs, sidecar
+    metadata).  A 2000-row events slice is round-tripped through BOTH
+    formats under /tmp, read back with EXPLICIT schemas (schema
+    inference is a full extra pass over the data before planning — the
+    a8_pivot discipline applied to scans), unioned, and aggregated; the
+    oracle is the same aggregate over the parquet slice counted twice,
+    so any loss or type drift in either format breaks the value hash.
+
+    Scale shape: both readers split by file/line offset exactly like
+    parquet scans (CSV/JSON are splittable uncompressed), so the union
+    is 2x the scan parallelism; the agg is one partial+final hash agg.
+    Floats survive the text round-trip because Spark writes shortest
+    round-trip decimal representations and reads them back to the
+    identical double."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_sc9_{tag}"
+    e = (
+        load(spark, sf, "events")
+        .where(F.col("event_id") <= 2000)
+        .select("event_id", "event_type", "value")
+    )
+    e.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    e.write.mode("overwrite").json(f"{base}/json")
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    csv = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    jsn = spark.read.schema(schema).json(f"{base}/json")
+    return (
+        csv.unionByName(jsn)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

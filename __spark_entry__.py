@@ -50,17 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 24 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 25 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 23 slots
-#      hold.  The 20 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 22 slots
+#      hold.  The 21 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 13 trivial-plan relational rows, and
-#      pipeline_pretrain_corpus (a composition of ops that are themselves
-#      in-window) — all 20 pass the in-repo parity mirror
+#      their real evidence is pytest), 13 trivial-plan relational rows,
+#      doc_repetition_score, and pipeline_pretrain_corpus (a composition of
+#      ops that are themselves in-window) — all 21 pass the in-repo parity
+#      mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
 _FRONT = (
@@ -89,6 +90,7 @@ _FRONT = (
     "index_bm25_topk",
     "emb_cluster_sample",
     "sc9_csv_json_sources",
+    "media_interleaved_pack",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -118,7 +120,6 @@ _FRONT = (
     "doc_mixture_rebalance",
     "corpus_bigram_topk",
     "doc_decontaminate",
-    "doc_repetition_score",
 )
 
 

@@ -197,3 +197,126 @@ def media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
     )
+
+
+# Interleaved text+media packing (the BASELINE.json input_hint payload:
+# spans of kind text|image|audio|video packed into fixed context windows).
+PACK_W = 20  # words per text span
+MEDIA_TOK = 64  # token budget one media span consumes (vision-token cost)
+PACK_CTX = 512  # context-window length in tokens
+
+ORACLE["media_interleaved_pack"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, source, n_words,
+             unnest(generate_series(
+               0, CAST(ceil(n_words / {PACK_W}.0) AS BIGINT) - 1)) AS i
+      FROM d),
+    s AS (
+      SELECT doc_id, source, 2 * i AS pos, 'text' AS kind,
+             least({PACK_W}, n_words - i * {PACK_W}) AS n_tok
+      FROM c
+      UNION ALL
+      SELECT doc_id, source, 2 * i + 1,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '4' THEN 'image'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '9' THEN 'audio'
+                  ELSE 'video' END,
+             {MEDIA_TOK}
+      FROM c
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) <= '4'),
+    p AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, pos
+                                 ROWS UNBOUNDED PRECEDING) - n_tok AS cum
+      FROM s)
+    SELECT doc_id, pos, kind, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(CAST(cum AS DOUBLE) / {PACK_CTX}) AS BIGINT) AS seq_id,
+           CAST(cum % {PACK_CTX} AS BIGINT) AS offset_in_seq
+    FROM p
+"""
+
+
+@q("media_interleaved_pack")
+def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved text+media sequence packing — the multimodal twin of
+    ``doc_pack_sequences`` over exactly the input-hint payload shape
+    (spans of kind text|image|audio|video in document order).
+
+    Spans are synthesized deterministically from ``documents``: the text
+    is cut into PACK_W-word spans; after span *i* a media span (kind by
+    md5 hex digit — the cross-engine device from emb_random_projection)
+    is interleaved for ~5/16 of positions, costing a fixed MEDIA_TOK
+    token budget (the vision-token accounting real VLM packers do).
+    Every span then gets its context window (``seq_id``) and offset via
+    a per-source running token total in (doc_id, pos) order.
+
+    Scale shape: the explode is narrow and bounded (×n_words/PACK_W per
+    doc — no join, no Python); the single shuffle is the per-source
+    packing window, so shards pack independently exactly like the
+    text-only packer — the embarrassingly-parallel plan a 100x corpus
+    needs.  Media spans are never split across windows implicitly:
+    offset_in_seq + n_tok may cross the boundary only the way the
+    text packer's concat-and-chunk contract already allows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("n_words") / F.lit(float(PACK_W))).cast("long") - 1,
+            )
+        ).alias("i"),
+    )
+    h = F.md5(
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string"))
+    )
+    text_span = F.struct(
+        (2 * F.col("i")).alias("pos"),
+        F.lit("text").alias("kind"),
+        F.least(F.lit(PACK_W).cast("long"), F.col("n_words") - F.col("i") * PACK_W)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    media_kind = (
+        F.when(F.substring(h, 2, 1) <= "4", "image")
+        .when(F.substring(h, 2, 1) <= "9", "audio")
+        .otherwise("video")
+    )
+    media_span = F.struct(
+        (2 * F.col("i") + 1).alias("pos"),
+        media_kind.alias("kind"),
+        F.lit(MEDIA_TOK).cast("long").alias("n_tok"),
+    )
+    spans = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(F.substring(h, 1, 1) <= "4", F.array(text_span, media_span)).otherwise(
+                F.array(text_span)
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", "s.pos", "s.kind", "s.n_tok")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum")
+    return spans.select("doc_id", "pos", "kind", "n_tok", cum).select(
+        "doc_id",
+        "pos",
+        "kind",
+        "n_tok",
+        F.floor(F.col("cum").cast("double") / PACK_CTX).cast("long").alias("seq_id"),
+        (F.col("cum") % PACK_CTX).alias("offset_in_seq"),
+    )

@@ -1142,3 +1142,34 @@ def test_index_postings_match_counter(spark):
         assert row["cf"] == sum(cnt.values())
         want = " ".join(f"{d}:{cnt[d]}" for d in sorted(cnt))
         assert row["postings"] == want, wd
+
+
+def test_interleaved_pack_offsets_reconstruct(spark):
+    """media_interleaved_pack invariants: within each source the global
+    token cursor (seq_id * PACK_CTX + offset_in_seq) advances by exactly
+    the previous span's n_tok (no gaps, no overlaps), starts at 0, and
+    every text span costs <= PACK_W while every media span costs exactly
+    MEDIA_TOK."""
+    from analytics import multimodal as M
+    from analytics.common import load
+
+    rows = M.media_interleaved_pack(spark, SF_TEST).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load(spark, SF_TEST, "documents").select("doc_id", "source").collect()
+    }
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(src[r["doc_id"]], []).append(r)
+    assert by_source
+    for spans in by_source.values():
+        spans.sort(key=lambda r: (r["doc_id"], r["pos"]))
+        cursor = 0
+        for r in spans:
+            assert r["seq_id"] * M.PACK_CTX + r["offset_in_seq"] == cursor, r
+            if r["kind"] == "text":
+                assert 1 <= r["n_tok"] <= M.PACK_W
+            else:
+                assert r["kind"] in ("image", "audio", "video")
+                assert r["n_tok"] == M.MEDIA_TOK
+            cursor += r["n_tok"]

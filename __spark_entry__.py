@@ -50,18 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 25 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 28 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 22 slots
-#      hold.  The 21 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 19 slots
+#      hold.  The 24 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 13 trivial-plan relational rows,
-#      doc_repetition_score, and pipeline_pretrain_corpus (a composition of
-#      ops that are themselves in-window) — all 21 pass the in-repo parity
-#      mirror
+#      their real evidence is pytest), 16 trivial-plan relational/split
+#      rows, doc_repetition_score, and pipeline_pretrain_corpus (a
+#      composition of ops that are themselves in-window) — all 24 pass the
+#      in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
 _FRONT = (
@@ -91,6 +91,9 @@ _FRONT = (
     "emb_cluster_sample",
     "sc9_csv_json_sources",
     "media_interleaved_pack",
+    "j10_star_q5",
+    "a11_hll_sketch_rollup",
+    "scd2_order_history",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -98,9 +101,7 @@ _FRONT = (
     # 3. last driver row r03: relational surface
     "j1_broadcast_join",
     "j2_shuffle_join_agg",
-    "j3_left_outer_join",
     "j4_left_anti_join",
-    "j5_left_semi_join",
     "j7_asof_join",
     "a1_hash_agg",
     "w1_row_number_topk",
@@ -116,7 +117,6 @@ _FRONT = (
     "dedup_clusters",
     "dedup_keep_list",
     "doc_sample_stratified",
-    "doc_split_assign",
     "doc_mixture_rebalance",
     "corpus_bigram_topk",
     "doc_decontaminate",

@@ -1473,3 +1473,183 @@ def sc9_csv_json_sources(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@q(
+    "j10_star_q5",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j10_star_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """J10: the TPC-H Q5 star — a 6-table local-supplier-volume join, the
+    canonical join-ordering / broadcast-strategy benchmark shape.
+
+    Plan intent at 100 TB: the two facts (lineitem, orders) shuffle-join
+    on orderkey after the orders date filter prunes a year (pushed to the
+    parquet scan); customer joins on the shuffled custkey; the three true
+    dimensions — supplier (SF x 10k rows), nation (25), region (5) — are
+    explicitly broadcast so the local-supplier equi-predicate
+    (s_nationkey = c_nationkey) is evaluated map-side with zero extra
+    exchanges.  Catalyst's CBO would pick most of this, but the broadcast
+    hints make the plan deterministic across stats states.
+    """
+    utc(spark)
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf, "customer")
+    s = F.broadcast(load(spark, sf, "supplier"))
+    n = F.broadcast(load(spark, sf, "nation"))
+    r = F.broadcast(load(spark, sf, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q("a11_hll_sketch_rollup")
+def a11_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A11 (rows-only): mergeable-sketch rollup — the pattern that makes
+    distinct counts affordable at 100 TB.  Per-group Apache DataSketches
+    HLL sketches are built in ONE pass over events (partial-aggregated
+    map-side like any hash agg); the global distinct-user estimate is then
+    derived by UNIONING the 12-bit group sketches — no second scan of the
+    fact table, which is exactly how a production rollup cube serves
+    "distinct users by any group-by subset" from per-leaf sketches.
+
+    DataSketches estimates are deterministic for a given input multiset
+    but not reproducible in DuckDB, so the driver records rows-only;
+    tests/test_pipeline_ops.py pins (a) union-of-group-sketches ==
+    one-shot whole-table sketch estimate exactly, and (b) both within 5%
+    of the exact distinct count."""
+    ev = load(spark, sf, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    typed = per.select(
+        F.col("event_type").alias("scope"),
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = per.agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    ).select(F.lit("ALL").alias("scope"), "n_events", "approx_users")
+    return typed.unionByName(merged)
+
+
+@q(
+    "scd2_order_history",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+             1 AS version FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END,
+             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                        ELSE o_totalprice END, 2),
+             2 FROM orders),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'Z'
+                  WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END,
+             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                        ELSE o_totalprice END, 2),
+             3 FROM orders),
+    snaps AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+    changed AS (
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, price, version,
+               lag(o_orderstatus) OVER w AS ps, lag(price) OVER w AS pp
+        FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY version))
+      WHERE ps IS NULL OR ps != o_orderstatus OR pp != price)
+    SELECT o_orderkey, o_orderstatus, price,
+           version AS valid_from,
+           lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to,
+           CAST(lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL AS BOOLEAN) AS is_current
+    FROM changed
+    """,
+)
+def scd2_order_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history build — collapse a stack of full-table snapshots into
+    type-2 slowly-changing-dimension intervals (valid_from / valid_to /
+    is_current), the warehouse temporal-merge primitive.
+
+    Three snapshot versions are synthesized deterministically from
+    ``orders`` (v2 flips status+price for keys % 7, v3 re-flips keys
+    % 13) so the DuckDB twin constructs byte-identical input.  The build
+    is two windows over the same (o_orderkey, version) partitioning —
+    lag() to drop no-change rows, lead() to close intervals — so Spark
+    plans ONE Exchange and two in-partition Window passes.
+
+    Scale shape: snapshot stacking is a unioned scan (narrow); the only
+    shuffle is by the dimension key, which is the natural partitioning a
+    production SCD2 MERGE already maintains; no skew (keys are unique per
+    snapshot, runs are bounded by the snapshot count)."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    v1 = o.withColumn("version", F.lit(1))
+    flip = F.col("o_orderkey") % 7 == 0
+    v2 = o.select(
+        "o_orderkey",
+        F.when(flip, "X").otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.round(F.when(flip, F.col("price") + 100).otherwise(F.col("price")), 2).alias("price"),
+        F.lit(2).alias("version"),
+    )
+    v3 = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, "Z")
+        .when(flip, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.round(F.when(flip, F.col("price") + 100).otherwise(F.col("price")), 2).alias("price"),
+        F.lit(3).alias("version"),
+    )
+    snaps = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    changed = (
+        snaps.withColumn("ps", F.lag("o_orderstatus").over(w))
+        .withColumn("pp", F.lag("price").over(w))
+        .where(
+            F.col("ps").isNull()
+            | (F.col("ps") != F.col("o_orderstatus"))
+            | (F.col("pp") != F.col("price"))
+        )
+        .drop("ps", "pp")
+    )
+    return changed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price",
+        F.col("version").alias("valid_from"),
+        F.lead("version").over(w).alias("valid_to"),
+        F.lead("version").over(w).isNull().alias("is_current"),
+    )

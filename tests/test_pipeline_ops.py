@@ -1173,3 +1173,34 @@ def test_interleaved_pack_offsets_reconstruct(spark):
                 assert r["kind"] in ("image", "audio", "video")
                 assert r["n_tok"] == M.MEDIA_TOK
             cursor += r["n_tok"]
+
+
+def test_hll_sketch_rollup_merge_and_tolerance(spark):
+    """a11_hll_sketch_rollup: (a) the ALL row (union of per-type sketches)
+    must equal a one-shot whole-table sketch estimate EXACTLY (DataSketches
+    HLL union is lossless for same-lgK sketches); (b) every estimate is
+    within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from analytics import relational as R
+    from analytics.common import load
+
+    rows = {r["scope"]: r for r in R.a11_hll_sketch_rollup(spark, SF_TEST).collect()}
+    ev = load(spark, SF_TEST, "events")
+    one_shot = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert rows["ALL"]["approx_users"] == one_shot
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"]["approx_users"] - exact_all) / exact_all <= 0.05
+    exact_by = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for scope, exact in exact_by.items():
+        got = rows[scope]["approx_users"]
+        assert abs(got - exact) / exact <= 0.05, (scope, got, exact)

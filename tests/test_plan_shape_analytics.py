@@ -241,3 +241,43 @@ def test_sc8_bucketed_join_is_exchange_free(spark):
     assert tree.count("Exchange") == 1, tree
     join_subtree = tree.split("SortMergeJoin")[1]
     assert "Exchange" not in join_subtree, join_subtree
+
+
+def test_j10_star_broadcasts_dims_pushes_date_filter(spark):
+    """Q5 star: the three dims must broadcast (no Exchange feeds them) and
+    the order-year predicate must reach the orders parquet scan."""
+    p = plan(relational.j10_star_q5(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p
+    pushed = [seg[:260] for seg in p.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in seg for seg in pushed)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_scd2_single_exchange_two_windows(spark):
+    """SCD2 build: both window passes share the (o_orderkey) partitioning —
+    exactly one Exchange, two Window nodes, zero Python."""
+    p = plan(relational.scd2_order_history(spark, SF_TEST))
+    assert p.count(") Exchange") == 1, p
+    assert p.count(") Window") == 2
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_interleaved_pack_single_exchange(spark):
+    """media_interleaved_pack: the span synthesis (split/explode/md5) is
+    narrow; the only Exchange is the per-source packing window."""
+    from analytics import multimodal
+
+    p = plan(multimodal.media_interleaved_pack(spark, SF_TEST))
+    assert p.count(") Exchange") == 1, p
+    assert "Window" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_hll_rollup_partial_aggregates(spark):
+    """A11: the per-type sketch agg must partial-aggregate map-side (two
+    HashAggregate/ObjectHashAggregate levels around one Exchange)."""
+    p = plan(relational.a11_hll_sketch_rollup(spark, SF_TEST))
+    assert "HashAggregate" in p
+    assert "Exchange" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -50,17 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 28 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 29 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 19 slots
-#      hold.  The 24 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 18 slots
+#      hold.  The 25 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 16 trivial-plan relational/split
-#      rows, doc_repetition_score, and pipeline_pretrain_corpus (a
-#      composition of ops that are themselves in-window) — all 24 pass the
+#      their real evidence is pytest), 17 trivial-plan relational/split/
+#      sample rows, doc_repetition_score, and pipeline_pretrain_corpus (a
+#      composition of ops that are themselves in-window) — all 25 pass the
 #      in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
@@ -94,6 +94,7 @@ _FRONT = (
     "j10_star_q5",
     "a11_hll_sketch_rollup",
     "scd2_order_history",
+    "ann_pq_adc",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -116,7 +117,6 @@ _FRONT = (
     "dedup_exact",
     "dedup_clusters",
     "dedup_keep_list",
-    "doc_sample_stratified",
     "doc_mixture_rebalance",
     "corpus_bigram_topk",
     "doc_decontaminate",

@@ -902,3 +902,169 @@ def emb_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= F.col("q"))
         .select("vec_id", "list_id")
     )
+
+
+# --- product quantization + ADC search ----------------------------------
+PQ_M = 4  # subspaces (64-dim embeddings -> 4 x 16)
+PQ_SUB = 16  # dims per subspace
+PQ_K = 16  # codes per subspace codebook
+PQ_ITER = 3  # Lloyd rounds per subspace
+PQ_NQ = 10  # query vectors (vec_id < PQ_NQ, same set as ann_topk_bruteforce)
+PQ_TOPK = 5
+
+
+def _pq_iter_sql(i: int) -> str:
+    return f"""
+  d{i} AS (SELECT e.vec_id, e.m, c.code,
+                  sum((e.q - c.c) * (e.q - c.c)) AS d
+           FROM ex e JOIN c{i - 1} c ON e.m = c.m AND e.jj = c.jj
+           GROUP BY e.vec_id, e.m, c.code),
+  a{i} AS (SELECT vec_id, m, code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, code) AS rn
+             FROM d{i}) WHERE rn = 1),
+  n{i} AS (SELECT a.m, a.code, e.jj,
+                  CAST(round(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM a{i} a JOIN ex e ON a.vec_id = e.vec_id AND a.m = e.m
+           GROUP BY a.m, a.code, e.jj),
+  c{i} AS (SELECT p.m, p.code, p.jj, coalesce(n.c, p.c) AS c
+           FROM c{i - 1} p LEFT JOIN n{i} n
+             ON p.m = n.m AND p.code = n.code AND p.jj = n.jj)
+"""
+
+
+ORACLE["ann_pq_adc"] = f"""
+    WITH ex AS (
+      SELECT vec_id,
+             (t.j - 1) // {PQ_SUB} AS m,
+             (t.j - 1) % {PQ_SUB} AS jj,
+             CAST(round(embedding[t.j]::DOUBLE * {_KM_G}) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) t(j)),
+    seeds AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+    c0 AS (SELECT e.m, s.code, e.jj, e.q AS c
+           FROM ex e JOIN seeds s ON e.vec_id = s.vec_id),
+    {",".join(_pq_iter_sql(i) for i in range(1, PQ_ITER + 1))},
+    denc AS (SELECT e.vec_id, e.m, c.code,
+                    sum((e.q - c.c) * (e.q - c.c)) AS d
+             FROM ex e JOIN c{PQ_ITER} c ON e.m = c.m AND e.jj = c.jj
+             GROUP BY e.vec_id, e.m, c.code),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d, code) AS rn
+              FROM denc) WHERE rn = 1),
+    lut AS (SELECT e.vec_id AS qid, c.m, c.code,
+                   sum((e.q - c.c) * (e.q - c.c)) AS lt
+            FROM ex e JOIN c{PQ_ITER} c ON e.m = c.m AND e.jj = c.jj
+            WHERE e.vec_id < {PQ_NQ}
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.qid, en.vec_id AS cid, sum(l.lt) AS d2
+            FROM enc en JOIN lut l ON en.m = l.m AND en.code = l.code
+            WHERE en.vec_id != l.qid
+            GROUP BY 1, 2)
+    SELECT qid, cid, rk, d2 FROM (
+      SELECT qid, cid, d2,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+      FROM adc)
+    WHERE rk <= {PQ_TOPK}
+"""
+
+
+def _pq_subvectors(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, m, jj, q): embeddings exploded to integer-microunit
+    coordinates, keyed by subspace m and within-subspace dim jj."""
+    from analytics.common import load_spread
+
+    e = load_spread(spark, sf, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    return e.select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_SUB).alias("m"),
+        (F.col("pos") % PQ_SUB).cast("long").alias("jj"),
+        F.round(F.col("v").cast("double") * _KM_G, 0).cast("long").alias("q"),
+    )
+
+
+@q("ann_pq_adc")
+def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI'11): train per-subspace
+    codebooks (PQ_M x PQ_K = 4 x 16, PQ_ITER Lloyd rounds), encode every vector as
+    PQ_M one-byte codes, then answer top-k by Asymmetric Distance
+    Computation — each query precomputes a PQ_M x PQ_K lookup table of
+    exact subspace distances and candidate scoring is a table lookup + sum,
+    never a full d-dim float op.
+
+    EVERYTHING runs on the kmeans integer-microunit grid (_KM_G): member
+    coordinates snap to BIGINT micro before any sum, so distances, means
+    and rankings are exact int64 arithmetic — bit-identical in Spark,
+    DuckDB (unrolled-CTE twin) and the numpy recompute, with zero
+    float-order sensitivity anywhere.
+
+    Scale shape: training is O(n*D*K) behind a broadcast of the 512-row
+    codebook (production trains on a sample — the plumbing is identical);
+    encoding is one broadcast-join pass storing PQ_M bytes/vector (16x
+    compression of a float64x64 row); ADC search broadcasts the per-query
+    LUT (PQ_NQ x PQ_M x PQ_K rows) and scans codes once — O(n*M) lookups
+    per query batch with NO distance recomputation, the FAISS IVFADC
+    memory/computation contract.  Every join is key-unique (no skew);
+    codebooks localCheckpoint per round so the plan stays O(1)."""
+    from pyspark.sql import Window
+
+    ex = _pq_subvectors(spark, sf)
+    seeds = (
+        ex.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
+        .withColumn("code", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    )
+    cents = (
+        ex.join(F.broadcast(seeds), "vec_id")
+        .select("m", "code", "jj", F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+
+    def assign_to(c: DataFrame) -> DataFrame:
+        d = (
+            ex.join(F.broadcast(c), ["m", "jj"])
+            .groupBy("vec_id", "m", "code")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        )
+        return d.groupBy("vec_id", "m").agg(
+            F.min_by("code", F.struct("d", "code")).alias("code")
+        )
+
+    for _ in range(PQ_ITER):
+        assign = assign_to(cents)
+        newc = (
+            assign.join(ex, ["vec_id", "m"])
+            .groupBy("m", "code", "jj")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count("*"), 0)
+                .cast("long")
+                .alias("cn")
+            )
+        )
+        cents = (
+            cents.join(newc, ["m", "code", "jj"], "left")
+            .select("m", "code", "jj", F.coalesce("cn", "c").alias("c"))
+            .localCheckpoint()
+        )
+    enc = assign_to(cents)
+    lut = (
+        ex.where(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(cents), ["m", "jj"])
+        .groupBy(F.col("vec_id").alias("qid"), "m", "code")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("lt"))
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("lt").alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select("qid", "cid", "rk", "d2")
+    )

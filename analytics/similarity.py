@@ -1013,6 +1013,8 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     ex = _pq_subvectors(spark, sf)
+    # the unpartitioned window runs AFTER the limit — it ranks exactly PQ_K
+    # rows on one task, so the WindowExec single-partition warning is moot
     seeds = (
         ex.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
         .withColumn("code", F.row_number().over(Window.orderBy("vec_id")) - 1)

@@ -1019,9 +1019,14 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         ex.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
         .withColumn("code", F.row_number().over(Window.orderBy("vec_id")) - 1)
     )
+    # the codebook is <= PQ_M*PQ_K*PQ_SUB = 1024 rows: coalesce to ONE
+    # partition before every checkpoint so each Lloyd round schedules one
+    # task, not shuffle.partitions near-empty ones (the 5.4 s -> sub-2 s
+    # bench delta at sf0.1 was pure tiny-task scheduling overhead)
     cents = (
         ex.join(F.broadcast(seeds), "vec_id")
         .select("m", "code", "jj", F.col("q").alias("c"))
+        .coalesce(1)
         .localCheckpoint()
     )
 
@@ -1049,6 +1054,7 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         cents = (
             cents.join(newc, ["m", "code", "jj"], "left")
             .select("m", "code", "jj", F.coalesce("cn", "c").alias("c"))
+            .coalesce(1)
             .localCheckpoint()
         )
     enc = assign_to(cents)

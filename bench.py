@@ -58,6 +58,14 @@ HEADLINE = (
     "index_postings",
     "ann_hard_negatives",
     "sc8_bucketed_join",
+    # round-5c: BM25 retrieval, the 6-table Q5 star, interleaved multimodal
+    # packing, PQ-ADC search, SCD2 temporal build, HLL sketch rollup
+    "index_bm25_topk",
+    "j10_star_q5",
+    "media_interleaved_pack",
+    "ann_pq_adc",
+    "scd2_order_history",
+    "a11_hll_sketch_rollup",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -50,18 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 29 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 30 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 18 slots
-#      hold.  The 25 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 17 slots
+#      hold.  The 26 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 17 trivial-plan relational/split/
-#      sample rows, doc_repetition_score, and pipeline_pretrain_corpus (a
-#      composition of ops that are themselves in-window) — all 25 pass the
-#      in-repo parity mirror
+#      their real evidence is pytest), 18 trivial-plan relational/split/
+#      sample/rebalance rows, doc_repetition_score, and
+#      pipeline_pretrain_corpus (a composition of ops that are themselves
+#      in-window) — all 26 pass the in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
 _FRONT = (
@@ -95,6 +95,7 @@ _FRONT = (
     "a11_hll_sketch_rollup",
     "scd2_order_history",
     "ann_pq_adc",
+    "pipeline_multimodal_corpus",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -117,7 +118,6 @@ _FRONT = (
     "dedup_exact",
     "dedup_clusters",
     "dedup_keep_list",
-    "doc_mixture_rebalance",
     "corpus_bigram_topk",
     "doc_decontaminate",
 )

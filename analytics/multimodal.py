@@ -238,30 +238,12 @@ ORACLE["media_interleaved_pack"] = f"""
 """
 
 
-@q("media_interleaved_pack")
-def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
-    """Interleaved text+media sequence packing — the multimodal twin of
-    ``doc_pack_sequences`` over exactly the input-hint payload shape
-    (spans of kind text|image|audio|video in document order).
-
-    Spans are synthesized deterministically from ``documents``: the text
-    is cut into PACK_W-word spans; after span *i* a media span (kind by
-    md5 hex digit — the cross-engine device from emb_random_projection)
-    is interleaved for ~5/16 of positions, costing a fixed MEDIA_TOK
-    token budget (the vision-token accounting real VLM packers do).
-    Every span then gets its context window (``seq_id``) and offset via
-    a per-source running token total in (doc_id, pos) order.
-
-    Scale shape: the explode is narrow and bounded (×n_words/PACK_W per
-    doc — no join, no Python); the single shuffle is the per-source
-    packing window, so shards pack independently exactly like the
-    text-only packer — the embarrassingly-parallel plan a 100x corpus
-    needs.  Media spans are never split across windows implicitly:
-    offset_in_seq + n_tok may cross the boundary only the way the
-    text packer's concat-and-chunk contract already allows."""
+def interleave_pack(d: DataFrame) -> DataFrame:
+    """Core interleaved packer over any (doc_id, source, text) frame —
+    shared by the stand-alone op and pipeline_multimodal_corpus.
+    Returns (doc_id, source, pos, kind, n_tok, seq_id, offset_in_seq)."""
     from pyspark.sql import Window
 
-    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
     base = d.select(
         "doc_id",
         "source",
@@ -312,11 +294,37 @@ def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum")
-    return spans.select("doc_id", "pos", "kind", "n_tok", cum).select(
+    return spans.select("doc_id", "source", "pos", "kind", "n_tok", cum).select(
         "doc_id",
+        "source",
         "pos",
         "kind",
         "n_tok",
         F.floor(F.col("cum").cast("double") / PACK_CTX).cast("long").alias("seq_id"),
         (F.col("cum") % PACK_CTX).alias("offset_in_seq"),
     )
+
+
+@q("media_interleaved_pack")
+def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved text+media sequence packing — the multimodal twin of
+    ``doc_pack_sequences`` over exactly the input-hint payload shape
+    (spans of kind text|image|audio|video in document order).
+
+    Spans are synthesized deterministically from ``documents``: the text
+    is cut into PACK_W-word spans; after span *i* a media span (kind by
+    md5 hex digit — the cross-engine device from emb_random_projection)
+    is interleaved for ~5/16 of positions, costing a fixed MEDIA_TOK
+    token budget (the vision-token accounting real VLM packers do).
+    Every span then gets its context window (``seq_id``) and offset via
+    a per-source running token total in (doc_id, pos) order.
+
+    Scale shape: the explode is narrow and bounded (×n_words/PACK_W per
+    doc — no join, no Python); the single shuffle is the per-source
+    packing window, so shards pack independently exactly like the
+    text-only packer — the embarrassingly-parallel plan a 100x corpus
+    needs.  Media spans are never split across windows implicitly:
+    offset_in_seq + n_tok may cross the boundary only the way the
+    text packer's concat-and-chunk contract already allows."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    return interleave_pack(d).drop("source")

@@ -159,3 +159,84 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size("ws")).cast("long").alias("n_tokens"),
     )
+
+
+@q(
+    "pipeline_multimodal_corpus",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE length(trim(text)) > 0
+        AND len(string_split_regex(trim(text), ' +')) >= {MIN_WORDS}),
+    keep AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM docs) WHERE rn = 1),
+    d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words
+      FROM keep),
+    c AS (
+      SELECT doc_id, source, n_words,
+             unnest(generate_series(
+               0, CAST(ceil(n_words / 20.0) AS BIGINT) - 1)) AS i
+      FROM d),
+    s AS (
+      SELECT doc_id, source, 2 * i AS pos, 'text' AS kind,
+             least(20, n_words - i * 20) AS n_tok
+      FROM c
+      UNION ALL
+      SELECT doc_id, source, 2 * i + 1,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '4' THEN 'image'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '9' THEN 'audio'
+                  ELSE 'video' END,
+             64
+      FROM c
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) <= '4'),
+    p AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, pos
+                                 ROWS UNBOUNDED PRECEDING) - n_tok AS cum
+      FROM s)
+    SELECT source, kind,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT CAST(floor(CAST(cum AS DOUBLE) / 512) AS BIGINT))
+                AS BIGINT) AS n_seqs
+    FROM p GROUP BY source, kind
+    """,
+)
+def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal composition: quality gate (>= MIN_WORDS words) →
+    exact text dedup (keep lowest doc_id per md5) → interleaved
+    text+media packing → per-(source, kind) corpus rollup.
+
+    Like ``pipeline_pretrain_corpus``, the point of registering the
+    composition is that the hash check pins the stage INTERACTION —
+    dedup-before-pack shifts every downstream token offset, so a wrong
+    stage order or a dropped survivor changes n_seqs/n_tokens for every
+    source.
+
+    Scale shape: quality gate is a stateless scan; dedup is one
+    hash-partitioned window on md5(text); packing adds its one
+    per-source window; the rollup is a partial+final agg whose distinct
+    seq count rides the same source partitioning.  Three shuffles total
+    for the whole corpus pass — nothing quadratic, nothing driver-side."""
+    from analytics.multimodal import interleave_pack
+
+    d = load(spark, sf, "documents").where(
+        (F.length(F.trim("text")) > 0)
+        & (F.size(F.split(F.trim("text"), " +")) >= MIN_WORDS)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    keep = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    packed = interleave_pack(keep)
+    return packed.groupBy("source", "kind").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+    )

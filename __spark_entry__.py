@@ -50,18 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 30 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 31 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 17 slots
-#      hold.  The 26 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 16 slots
+#      hold.  The 27 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 18 trivial-plan relational/split/
+#      their real evidence is pytest), 19 trivial-plan relational/split/
 #      sample/rebalance rows, doc_repetition_score, and
 #      pipeline_pretrain_corpus (a composition of ops that are themselves
-#      in-window) — all 26 pass the in-repo parity mirror
+#      in-window) — all 27 pass the in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
 _FRONT = (
@@ -96,6 +96,7 @@ _FRONT = (
     "scd2_order_history",
     "ann_pq_adc",
     "pipeline_multimodal_corpus",
+    "j11_salted_skew_join",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -107,7 +108,6 @@ _FRONT = (
     "j7_asof_join",
     "a1_hash_agg",
     "w1_row_number_topk",
-    "w4_running_sum",
     "st5_session_window",
     # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)
     "frontier_pop",

@@ -1653,3 +1653,69 @@ def scd2_order_history(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("version").over(w).alias("valid_to"),
         F.lead("version").over(w).isNull().alias("is_current"),
     )
+
+
+SKEW_SALT = 8  # fact-side salt fan-out for the hot-key join
+
+
+@q(
+    "j11_salted_skew_join",
+    """
+    WITH f AS (
+      SELECT event_id, user_id % 3 AS hot_key, value FROM events),
+    d AS (
+      SELECT DISTINCT user_id % 3 AS hot_key,
+             CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                              ELSE 'gamma' END AS segment
+      FROM events)
+    SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(f.value), 4) AS total
+    FROM f JOIN d ON f.hot_key = d.hot_key
+    GROUP BY d.segment
+    """,
+)
+def j11_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J11: explicit salt-based skew-join — the hand-rolled mitigation for
+    when a shuffle join's key distribution would pole a single reducer
+    (every row here lands on THREE keys, the worst case AQE's skew split
+    cannot always save, e.g. when the dim side must not be broadcast).
+
+    Construction: the fact side appends ``salt = xxhash64(event_id) %
+    SKEW_SALT`` to the join key; the dim side explodes each row into all
+    SKEW_SALT salt values.  The join key becomes (hot_key, salt), fanning
+    each hot key across SKEW_SALT reducers; results are provably
+    identical to the unsalted join — which is exactly what the DuckDB
+    twin runs, so the driver's hash check IS the equivalence proof.
+
+    Scale shape: dim-side explode costs |dim| x SKEW_SALT rows (dims are
+    small by premise); fact side is one narrow projection; the shuffle
+    spreads uniformly because xxhash64 of a unique id is uniform.  This
+    is the static form of what frontier_pop's two-stage salted rank does
+    dynamically (engine/frontier.py F5)."""
+    ev = load(spark, sf, "events")
+    f = ev.select(
+        "event_id",
+        (F.col("user_id") % 3).alias("hot_key"),
+        "value",
+        (F.pmod(F.xxhash64("event_id"), F.lit(SKEW_SALT))).alias("salt"),
+    )
+    d = (
+        ev.select((F.col("user_id") % 3).alias("hot_key"))
+        .distinct()
+        .select(
+            "hot_key",
+            F.element_at(
+                F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+                (F.col("hot_key") + 1).cast("int"),
+            ).alias("segment"),
+            F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))).alias("salt"),
+        )
+    )
+    # hint both sides away from broadcast so the salted SHUFFLE join is the
+    # plan actually exercised (that is the scenario salting exists for)
+    return (
+        f.hint("shuffle_hash")
+        .join(d.hint("shuffle_hash"), ["hot_key", "salt"])
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )

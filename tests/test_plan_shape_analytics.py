@@ -281,3 +281,13 @@ def test_hll_rollup_partial_aggregates(spark):
     assert "HashAggregate" in p
     assert "Exchange" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_j11_salted_join_is_shuffle_not_broadcast(spark):
+    """The salted skew join must exercise a real shuffle join on the
+    (hot_key, salt) composite key — broadcast would bypass the very
+    distribution the salt exists to fix."""
+    p = plan(relational.j11_salted_skew_join(spark, SF_TEST))
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+    assert "salt" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

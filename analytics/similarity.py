@@ -972,18 +972,33 @@ ORACLE["ann_pq_adc"] = f"""
 
 
 def _pq_subvectors(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, m, jj, q): embeddings exploded to integer-microunit
-    coordinates, keyed by subspace m and within-subspace dim jj."""
-    from analytics.common import load_spread
-
-    e = load_spread(spark, sf, "embeddings").select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    """(vec_id, m, qs): embeddings cut into PQ_M subvectors of PQ_SUB
+    integer-microunit coordinates each — the array form keeps subspace
+    distances a single zip_with expression (no per-dimension shuffle)."""
+    e = load_spread(spark, sf, "embeddings").select("vec_id", "embedding")
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.transform(
+                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB),
+                        lambda x: F.round(x.cast("double") * _KM_G, 0).cast("long"),
+                    ).alias("qs"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
     )
-    return e.select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_SUB).alias("m"),
-        (F.col("pos") % PQ_SUB).cast("long").alias("jj"),
-        F.round(F.col("v").cast("double") * _KM_G, 0).cast("long").alias("q"),
+    return e.select("vec_id", sub.alias("s")).select("vec_id", "s.m", "s.qs")
+
+
+def _pq_dist(a, b):
+    """Exact integer squared L2 between two micro-unit coordinate arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -1000,16 +1015,23 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     coordinates snap to BIGINT micro before any sum, so distances, means
     and rankings are exact int64 arithmetic — bit-identical in Spark,
     DuckDB (unrolled-CTE twin) and the numpy recompute, with zero
-    float-order sensitivity anywhere.
+    float-order sensitivity anywhere.  Subvectors travel as ARRAYS, so a
+    subspace distance is one zip_with/aggregate expression per
+    (vector, centroid) pair — the Lloyd round is broadcast-join + ONE
+    min_by agg, with no per-dimension distance shuffle and no
+    assignment join-back (the first cut of this op paid 2 extra
+    shuffles per round for exactly the same integers).
 
-    Scale shape: training is O(n*D*K) behind a broadcast of the 512-row
+    Scale shape: training is O(n*D*K) behind a broadcast of the 64-row
     codebook (production trains on a sample — the plumbing is identical);
     encoding is one broadcast-join pass storing PQ_M bytes/vector (16x
     compression of a float64x64 row); ADC search broadcasts the per-query
     LUT (PQ_NQ x PQ_M x PQ_K rows) and scans codes once — O(n*M) lookups
     per query batch with NO distance recomputation, the FAISS IVFADC
     memory/computation contract.  Every join is key-unique (no skew);
-    codebooks localCheckpoint per round so the plan stays O(1)."""
+    codebooks coalesce(1) + localCheckpoint per round (<= 64 rows) so the
+    plan stays O(1) and each round schedules one task, not
+    shuffle.partitions near-empty ones."""
     from pyspark.sql import Window
 
     ex = _pq_subvectors(spark, sf)
@@ -1019,50 +1041,65 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         ex.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
         .withColumn("code", F.row_number().over(Window.orderBy("vec_id")) - 1)
     )
-    # the codebook is <= PQ_M*PQ_K*PQ_SUB = 1024 rows: coalesce to ONE
-    # partition before every checkpoint so each Lloyd round schedules one
-    # task, not shuffle.partitions near-empty ones (the 5.4 s -> sub-2 s
-    # bench delta at sf0.1 was pure tiny-task scheduling overhead)
     cents = (
         ex.join(F.broadcast(seeds), "vec_id")
-        .select("m", "code", "jj", F.col("q").alias("c"))
+        .select("m", "code", F.col("qs").alias("cs"))
         .coalesce(1)
         .localCheckpoint()
     )
 
-    def assign_to(c: DataFrame) -> DataFrame:
-        d = (
-            ex.join(F.broadcast(c), ["m", "jj"])
-            .groupBy("vec_id", "m", "code")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+    def assign_to(c: DataFrame, keep_qs: bool) -> DataFrame:
+        """argmin code per (vec_id, m); ties break to the lowest code."""
+        d = ex.join(F.broadcast(c), "m").select(
+            "vec_id",
+            "m",
+            "code",
+            "qs",
+            _pq_dist(F.col("qs"), F.col("cs")).alias("d"),
         )
-        return d.groupBy("vec_id", "m").agg(
-            F.min_by("code", F.struct("d", "code")).alias("code")
+        val = F.struct("code", "qs") if keep_qs else F.col("code")
+        out = d.groupBy("vec_id", "m").agg(
+            F.min_by(val, F.struct("d", "code")).alias("a")
         )
+        if keep_qs:
+            return out.select(
+                "vec_id", "m", F.col("a.code").alias("code"), F.col("a.qs").alias("qs")
+            )
+        return out.select("vec_id", "m", F.col("a").alias("code"))
 
     for _ in range(PQ_ITER):
-        assign = assign_to(cents)
+        assign = assign_to(cents, keep_qs=True)
         newc = (
-            assign.join(ex, ["vec_id", "m"])
+            assign.select("m", "code", F.posexplode("qs").alias("jj", "q"))
             .groupBy("m", "code", "jj")
             .agg(
                 F.round(F.sum("q").cast("double") / F.count("*"), 0)
                 .cast("long")
-                .alias("cn")
+                .alias("x")
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("jj", "x"))), lambda s: s.x
+                ).alias("cn")
             )
         )
         cents = (
-            cents.join(newc, ["m", "code", "jj"], "left")
-            .select("m", "code", "jj", F.coalesce("cn", "c").alias("c"))
+            cents.join(newc, ["m", "code"], "left")
+            .select("m", "code", F.coalesce("cn", "cs").alias("cs"))
             .coalesce(1)
             .localCheckpoint()
         )
-    enc = assign_to(cents)
+    enc = assign_to(cents, keep_qs=False)
     lut = (
         ex.where(F.col("vec_id") < PQ_NQ)
-        .join(F.broadcast(cents), ["m", "jj"])
-        .groupBy(F.col("vec_id").alias("qid"), "m", "code")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("lt"))
+        .join(F.broadcast(cents), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            _pq_dist(F.col("qs"), F.col("cs")).alias("lt"),
+        )
     )
     adc = (
         enc.join(F.broadcast(lut), ["m", "code"])

@@ -66,6 +66,8 @@ HEADLINE = (
     "ann_pq_adc",
     "scd2_order_history",
     "a11_hll_sketch_rollup",
+    "pipeline_multimodal_corpus",
+    "j11_salted_skew_join",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -222,3 +222,18 @@ def test_probe_strategies_agree(spark):
     for h in seeds[:1000]:
         assert outs["broadcast"][int(h)] is True
     blobs.unpersist()
+
+
+def test_front_window_names_all_resolve():
+    """Every name in the driver-window front-registration list must be a
+    registered query — a typo silently falls out of the 50-slot window
+    (queries() pops only names it finds)."""
+    import __spark_entry__ as se
+
+    registered = set()
+    for mod in se._MODULES:
+        registered |= set(mod.QUERIES)
+    missing = [n for n in se._FRONT if n not in registered]
+    assert not missing, f"front-window names not registered: {missing}"
+    assert len(se._FRONT) == len(set(se._FRONT)), "duplicate front entries"
+    assert len(se._FRONT) == 50

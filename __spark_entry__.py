@@ -50,16 +50,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 31 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 32 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 16 slots
-#      hold.  The 27 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 15 slots
+#      hold.  The 28 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
 #      their real evidence is pytest), 19 trivial-plan relational/split/
-#      sample/rebalance rows, doc_repetition_score, and
+#      sample/rebalance rows, doc_repetition_score, doc_decontaminate, and
 #      pipeline_pretrain_corpus (a composition of ops that are themselves
 #      in-window) — all 27 pass the in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
@@ -97,6 +97,7 @@ _FRONT = (
     "ann_pq_adc",
     "pipeline_multimodal_corpus",
     "j11_salted_skew_join",
+    "doc_html_extract",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -119,7 +120,6 @@ _FRONT = (
     "dedup_clusters",
     "dedup_keep_list",
     "corpus_bigram_topk",
-    "doc_decontaminate",
 )
 
 

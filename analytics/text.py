@@ -1495,3 +1495,79 @@ def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wnd))
         .where(F.col("rk") <= BM25_TOPK)
     )
+
+
+ORACLE["doc_html_extract"] = r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>'
+             || array_to_string(string_split_regex(trim(text), ' +')[1:3], ' ')
+             || '</title></head><body><p>'
+             || regexp_replace(text, ' and ', ' &amp; ', 'g')
+             || '</p><script>track(1);</script></body></html>' AS html
+      FROM documents WHERE length(trim(text)) > 0),
+    x AS (
+      SELECT doc_id,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html, '<script>.*?</script>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+                 ' +', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id, title, md5(clean) AS clean_hash,
+           CAST(len(string_split_regex(clean, ' +')) AS BIGINT) AS n_tokens
+    FROM x
+"""
+
+
+@q("doc_html_extract")
+def doc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML text extraction — the parse step every fetched page passes
+    through before any curation op sees it: drop script/style payloads,
+    strip tags, unescape entities, collapse whitespace, and pull the
+    <title> as structured metadata.
+
+    Markup is synthesized deterministically from ``documents`` (title =
+    first three words, body = the text with ' and ' entity-escaped, plus
+    a <script> block that must NOT leak into the clean text), so the
+    DuckDB twin constructs byte-identical pages and the value hash
+    proves the whole extract chain — the doc_pii_scrub device applied to
+    markup stripping.  All four rewrite passes use the Java∩RE2 regex
+    dialect (no lookaround, no backrefs; non-greedy '.*?' is common).
+
+    Scale shape: stateless regexp scans in one WholeStageCodegen span —
+    zero shuffles, zero Python; the parse cost is linear in page bytes
+    and embarrassingly parallel, exactly how the engine's fetch epoch
+    runs its span parser (X1)."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    title3 = F.array_join(F.slice(F.split(F.trim("text"), " +"), 1, 3), " ")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title3,
+        F.lit("</title></head><body><p>"),
+        F.regexp_replace("text", " and ", " &amp; "),
+        F.lit("</p><script>track(1);</script></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("html", "<script>.*?</script>", " "),
+                    "<[^>]+>",
+                    " ",
+                ),
+                "&amp;",
+                "&",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return h.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.md5(clean).alias("clean_hash"),
+        F.size(F.split(clean, " +")).cast("long").alias("n_tokens"),
+    )

@@ -1248,3 +1248,40 @@ def test_ann_pq_adc_recall_vs_bruteforce(spark):
     recall = len(exact & got) / len(exact)
     assert recall >= 0.15, f"PQ recall {recall:.2f} below floor"
     assert bf  # bruteforce baseline still runs alongside
+
+
+def test_html_extract_matches_python(spark):
+    """Recompute the whole extract chain (synth markup -> 4 regex passes ->
+    title/clean/token count) in pure python with the engines' exact
+    semantics: space-only trim, ' +' splits, non-greedy '.*?' that does not
+    cross newlines in either dialect.  Every doc must match field-for-field,
+    and the <script> payload must never survive into the clean text."""
+    import hashlib
+    import re
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST, "documents").collect()
+        if len(r["text"].strip(" ")) > 0
+    }
+    got = {r["doc_id"]: r for r in T.doc_html_extract(spark, SF_TEST).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        title = " ".join(re.split(" +", text.strip(" "))[:3])
+        html = (
+            "<html><head><title>" + title + "</title></head><body><p>"
+            + text.replace(" and ", " &amp; ")
+            + "</p><script>track(1);</script></body></html>"
+        )
+        clean = re.sub("<script>.*?</script>", " ", html)
+        clean = re.sub("<[^>]+>", " ", clean)
+        clean = clean.replace("&amp;", "&")
+        clean = re.sub(" +", " ", clean).strip(" ")
+        assert "track(1);" not in clean
+        r = got[doc_id]
+        assert r["title"] == title, doc_id
+        assert r["clean_hash"] == hashlib.md5(clean.encode()).hexdigest(), doc_id
+        assert r["n_tokens"] == len(re.split(" +", clean)), doc_id

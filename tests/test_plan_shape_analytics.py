@@ -291,3 +291,16 @@ def test_j11_salted_join_is_shuffle_not_broadcast(spark):
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
     assert "salt" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_html_extract_zero_shuffle_no_python(spark):
+    """HTML extraction is the fetch-epoch parse shape: stateless regexp
+    rewrites in one codegen span — no Exchange, no Python, read schema
+    pruned to (doc_id, text)."""
+    from analytics import text as T
+
+    p = plan(T.doc_html_extract(spark, SF_TEST))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read

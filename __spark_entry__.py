@@ -50,16 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 32 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 33 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 15 slots
-#      hold.  The 28 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 14 slots
+#      hold.  The 29 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
 #      their real evidence is pytest), 19 trivial-plan relational/split/
-#      sample/rebalance rows, doc_repetition_score, doc_decontaminate, and
+#      sample/rebalance rows, doc_repetition_score, doc_decontaminate,
+#      corpus_bigram_topk, and
 #      pipeline_pretrain_corpus (a composition of ops that are themselves
 #      in-window) — all 27 pass the in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
@@ -98,6 +99,7 @@ _FRONT = (
     "pipeline_multimodal_corpus",
     "j11_salted_skew_join",
     "doc_html_extract",
+    "doc_quality_classifier",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -119,7 +121,6 @@ _FRONT = (
     "dedup_exact",
     "dedup_clusters",
     "dedup_keep_list",
-    "corpus_bigram_topk",
 )
 
 

@@ -1571,3 +1571,85 @@ def doc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(clean).alias("clean_hash"),
         F.size(F.split(clean, " +")).cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------- hashed linear quality model
+QC_D = 4096  # feature buckets (3 hex chars of md5 — exact, no modulo bias)
+
+
+ORACLE["doc_quality_classifier"] = """
+    WITH w AS (
+      SELECT b,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 4)) AS INT)
+               - 32768 AS wt
+      FROM range(4096) t(b)),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(x), 1, 3)) AS INT) AS b
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS x
+            FROM documents WHERE length(text) > 0))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(round(CAST(sum(wt) AS DOUBLE) / count(*)) AS BIGINT)
+             AS logit_micro,
+           CAST(round(CAST(sum(wt) AS DOUBLE) / count(*)) > 0 AS INT) AS keep
+    FROM tok JOIN w USING (b)
+    GROUP BY doc_id
+"""
+
+
+@q("doc_quality_classifier")
+def doc_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE with the hashing trick — the
+    fasttext/DCLM curation shape: lowercase unigrams hash into QC_D
+    buckets (3 hex chars of md5 — exactly 4096, no modulo bias), a
+    bucket-indexed weight table scores each token, and the document keeps
+    the mean weight as its logit.  The weight table is DATA-FREE (wt(b) =
+    md5-derived int in [-32768, 32767] — the emb_random_projection sign-
+    matrix device), so all three engines (Spark, DuckDB, the pytest's
+    python recompute) reconstruct the identical "trained model" from
+    nothing but the bucket ids.
+
+    Parity device: weights are exact integers, the per-doc sum is an
+    exact BIGINT, and the single inexact op is one correctly-rounded
+    IEEE division + round-to-integer (away-from-zero ties in both
+    engines) — the integer-grid family; `keep` is emitted as INT 0/1.
+
+    Scale shape: the weight table is model-sized (QC_D rows — metadata at
+    any corpus scale) and BROADCAST, exactly how a real classifier's
+    coefficient vector ships to executors; tokens explode narrowly and
+    the ONLY shuffle is the final doc_id hash agg with map-side partials.
+    No Python, no per-token shuffle, no vocabulary join (the hashing
+    trick's whole point at web scale: bounded model size, no OOV path)."""
+    d = load(spark, sf, "documents").where(F.length("text") > 0)
+    wts = spark.range(QC_D).select(
+        F.col("id").cast("int").alias("b"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            - 32768
+        ).alias("wt"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("x"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("x"), 1, 3), 16, 10).cast("int").alias("b"),
+    )
+    logit = F.round(F.col("s").cast("double") / F.col("n_tok")).cast("long")
+    return (
+        tok.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("wt").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            logit.alias("logit_micro"),
+            (logit > 0).cast("int").alias("keep"),
+        )
+    )

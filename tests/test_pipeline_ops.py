@@ -1285,3 +1285,37 @@ def test_html_extract_matches_python(spark):
         assert r["title"] == title, doc_id
         assert r["clean_hash"] == hashlib.md5(clean.encode()).hexdigest(), doc_id
         assert r["n_tokens"] == len(re.split(" +", clean)), doc_id
+
+
+def test_quality_classifier_matches_python(spark):
+    """Rebuild the md5-derived weight table and the per-doc mean-weight
+    logit in pure python; every doc must match exactly (the weights and
+    sums are integers; the one division + round is IEEE-identical)."""
+    import hashlib
+
+    from analytics import text as T
+    from analytics.common import load
+
+    def h(s, n):
+        return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+    wt = {b: h(str(b), 4) - 32768 for b in range(T.QC_D)}
+    got = {r["doc_id"]: r for r in T.doc_quality_classifier(spark, SF_TEST).collect()}
+    docs = load(spark, SF_TEST, "documents").collect()
+    n_checked = 0
+    for r in docs:
+        toks = [x for x in r["text"].lower().split(" ") if x]
+        if not toks:
+            assert r["doc_id"] not in got
+            continue
+        s = sum(wt[h(x, 3)] for x in toks)
+        mean = s / len(toks)
+        # python round() is banker's; both engines round half away from zero
+        import math
+
+        logit = int(math.floor(mean + 0.5) if mean >= 0 else math.ceil(mean - 0.5))
+        g = got[r["doc_id"]]
+        assert g["n_tok"] == len(toks) and g["logit_micro"] == logit, r["doc_id"]
+        assert g["keep"] == int(logit > 0)
+        n_checked += 1
+    assert n_checked == len(got) > 0

@@ -304,3 +304,18 @@ def test_html_extract_zero_shuffle_no_python(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     read = p.split("ReadSchema")[1][:200]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_quality_classifier_broadcasts_model(spark):
+    """The weight table must broadcast (model-sized dim) and the only
+    shuffle is the final doc_id agg with a partial below it — no Python,
+    no vocabulary-join Exchange on the token stream."""
+    import re
+
+    from analytics import text as T
+
+    p = plan(T.doc_quality_classifier(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "partial_count" in p or "partial" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -27,6 +27,7 @@ if _REPO not in sys.path:
 from analytics import (  # noqa: E402
     crawl_queries,
     dedup,
+    events,
     graph,
     multimodal,
     pipeline,
@@ -37,7 +38,7 @@ from analytics import (  # noqa: E402
     udfs,
 )
 
-_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs, pipeline, graph)
+_MODULES = (relational, crawl_queries, dedup, sampling, similarity, text, multimodal, udfs, pipeline, graph, events)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,19 +51,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 33 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 36 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 14 slots
-#      hold.  The 29 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 11 slots
+#      hold.  The 32 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
 #      their real evidence is pytest), 19 trivial-plan relational/split/
 #      sample/rebalance rows, doc_repetition_score, doc_decontaminate,
-#      corpus_bigram_topk, and
-#      pipeline_pretrain_corpus (a composition of ops that are themselves
-#      in-window) — all 27 pass the in-repo parity mirror
+#      corpus_bigram_topk, dedup_exact, dedup_clusters, dedup_keep_list,
+#      and pipeline_pretrain_corpus (a composition of ops that are
+#      themselves in-window) — all 30 pass the in-repo parity mirror
 #      (tests/test_analytics_parity) on current code and none changed since
 #      their last green driver row.
 _FRONT = (
@@ -100,6 +101,9 @@ _FRONT = (
     "j11_salted_skew_join",
     "doc_html_extract",
     "doc_quality_classifier",
+    "events_skyline",
+    "events_markov",
+    "events_zscore_outliers",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -117,10 +121,6 @@ _FRONT = (
     "frontier_merge",
     "robots_longest_prefix",
     "canonicalize_urls",
-    # 3. last driver row r03: dedup / sampling / pipeline / text
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_keep_list",
 )
 
 

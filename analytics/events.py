@@ -1,0 +1,186 @@
+"""Event-stream analytics ops (round 5): skyline, Markov transitions,
+exact-integer outlier flagging.
+
+Same driver-parity discipline as the rest of the package: every query has
+a DuckDB twin, exact-integer arithmetic wherever summation order could
+matter, and at most one correctly-rounded IEEE division/round per output
+column (the integer-grid family, see analytics/text.py bigram-LM notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analytics.common import load, utc
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+SKY_BUCKETS = 64  # stage-1 local-prune fan-out (the F5 salting device)
+
+
+@q(
+    "events_skyline",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) AS t_us, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    m AS (SELECT t_us, max(vc) AS vc FROM b GROUP BY t_us),
+    r AS (SELECT t_us, vc,
+                 max(vc) OVER (ORDER BY t_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+          FROM m)
+    SELECT t_us, vc FROM r WHERE pm IS NULL OR vc > pm
+    """,
+)
+def events_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the events that were, at their
+    moment, the highest-valued ever seen — point (t, v) survives iff no
+    point has an earlier-or-equal timestamp and a >= value (per-timestamp
+    max reduction handles the equal-t case, so the scan rule is strictly
+    earlier t with >= v).  Timestamps are exact epoch microseconds and
+    values sit on the x100 integer grid, so dominance is integer-exact on
+    both engines.
+
+    Scale shape — the naive plan is a single global running-max window
+    over ALL n rows (one-task pole).  Instead, the two-stage prune of F5:
+    stage 1 hash-buckets rows by pmod(xxhash64(t), 64) and takes the
+    LOCAL skyline per bucket (a bucket's running max can only over-keep,
+    never drop a global survivor), stage 2 runs the exact global window
+    on the survivors only — expected O(buckets * ln n) rows (random
+    2-D skyline size is H(n)), metadata-sized at any corpus scale."""
+    utc(spark)  # ts is NTZ parquet; cast->TIMESTAMP must not shift wall-clock
+    b = load(spark, sf, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    m = b.groupBy("t_us").agg(F.max("vc").alias("vc"))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = (
+        m.withColumn("bucket", F.pmod(F.xxhash64("t_us"), F.lit(SKY_BUCKETS)))
+        .withColumn("pm", F.max("vc").over(w_loc))
+        .where(F.col("pm").isNull() | (F.col("vc") > F.col("pm")))
+        .drop("bucket", "pm")
+    )
+    w_glob = Window.orderBy("t_us").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        s1.withColumn("pm", F.max("vc").over(w_glob))
+        .where(F.col("pm").isNull() | (F.col("vc") > F.col("pm")))
+        .select("t_us", "vc")
+    )
+
+
+@q(
+    "events_markov",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    p AS (SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id) AS dst
+          FROM b),
+    c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY src)
+    SELECT src, dst, n, round(CAST(n AS DOUBLE) / tot, 4) AS p
+    FROM c JOIN t USING (src)
+    """,
+)
+def events_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the session-modeling primitive (next-action prediction,
+    funnel leak analysis).  Sequences order by (floor-epoch second,
+    event_id): the shared st3/w5 time key plus a total tie-break, so both
+    engines see identical successor pairs.
+
+    Parity device: transition counts are exact integers; row-normalizing
+    is ONE correctly-rounded division per (src, dst) cell.
+
+    Scale shape: one user_id-keyed window (per-user sequences are
+    bounded — no global sort), then the pair counts collapse to at most
+    |event_type|^2 cells with map-side partial aggregation; the src
+    totals are re-aggregated from those cells (matrix-sized, broadcast),
+    never from the raw stream."""
+    b = load(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    c = (
+        b.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "src").select(
+        "src", "dst", "n", F.round(F.col("n") / F.col("tot"), 4).alias("p")
+    )
+
+
+@q(
+    "events_zscore_outliers",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    a AS (SELECT user_id, count(*) AS n, sum(vc) AS s, sum(vc * vc) AS q
+          FROM b GROUP BY user_id)
+    SELECT event_id,
+           CAST(CAST(n * vc - s AS HUGEINT) * (n * vc - s)
+                > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                AS INT) AS is_outlier
+    FROM b JOIN a USING (user_id)
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user z-score outlier flag (|z| > 2) with ZERO floating point:
+    the anomaly/data-quality gate every ingest pipeline runs.  On the
+    x100 integer grid, z^2 > 4 is the integer inequality
+    (n*v - s)^2 > 4*(n*q - s^2) with s = sum, q = sum of squares — both
+    sides computed in 128-bit exact arithmetic (Spark decimal(38,0),
+    DuckDB HUGEINT), so no variance estimate, division, or sqrt ever
+    touches a float and summation order cannot flip a flag.
+
+    Scale shape: per-user moments are one hash agg with map-side
+    partials; the flag join keys on user_id — the same partitioning the
+    agg just produced.  The join strategy is deliberately left to
+    Catalyst/AQE size stats: at test scale the moments table is tiny and
+    broadcasts; at web scale the user dimension outgrows the broadcast
+    threshold and the planner falls back to a shuffle join that reuses
+    the agg's user_id partitioning — no hint needed in either regime."""
+    b = load(spark, sf, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    a = b.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+    )
+    dec = "decimal(38,0)"
+    lhs_base = (F.col("n") * F.col("vc") - F.col("s")).cast(dec)
+    rhs = 4 * (
+        F.col("n").cast(dec) * F.col("q").cast(dec)
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    return b.join(a, "user_id").select(
+        "event_id", (lhs_base * lhs_base > rhs).cast("int").alias("is_outlier")
+    )

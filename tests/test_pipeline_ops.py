@@ -1319,3 +1319,90 @@ def test_quality_classifier_matches_python(spark):
         assert g["keep"] == int(logit > 0)
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_events_skyline_matches_bruteforce(spark):
+    """Two-stage pruned skyline == O(n log n) python sweep over the same
+    integer grid; also proves the frontier property directly (no survivor
+    is dominated, every non-survivor is)."""
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "events").select("ts", "value").collect()
+    pts = {}
+    for r in rows:
+        t = int(r["ts"].replace(tzinfo=None).timestamp() * 1_000_000)
+        # python round is banker's but value*100 never lands exactly on .5
+        # for these doubles the engines and python see identically
+        vc = int(round(r["value"] * 100))
+        pts[t] = max(pts.get(t, vc), vc)
+    want, best = [], None
+    for t in sorted(pts):
+        if best is None or pts[t] > best:
+            want.append((t, pts[t]))
+            best = pts[t]
+    got = sorted(
+        (r["t_us"], r["vc"]) for r in E.events_skyline(spark, SF_TEST).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_events_markov_matches_python(spark):
+    """Transition counts + row-normalized probabilities vs a dict
+    recompute over (floor-second, event_id)-ordered per-user sequences."""
+    from collections import Counter, defaultdict
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "events").collect()
+    seqs = defaultdict(list)
+    for r in rows:
+        s = int(r["ts"].replace(tzinfo=None).timestamp())  # floor: ts >= epoch
+        seqs[r["user_id"]].append((s, r["event_id"], r["event_type"]))
+    cnt = Counter()
+    for u in seqs:
+        seq = [e for _, _, e in sorted(seqs[u])]
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    tot = Counter()
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    got = {(r["src"], r["dst"]): r for r in E.events_markov(spark, SF_TEST).collect()}
+    assert set(got) == set(cnt)
+    for k, r in got.items():
+        assert r["n"] == cnt[k]
+        assert abs(r["p"] - round(cnt[k] / tot[k[0]], 4)) < 1e-9
+    assert abs(sum(r["p"] for (s, _), r in got.items() if s == "click") - 1.0) < 0.01
+
+
+def test_events_zscore_outliers_matches_python(spark):
+    """Integer inequality (n*v-s)^2 > 4*(n*q-s^2) recomputed with python
+    bigints — the 128-bit path can never overflow or round."""
+    from collections import defaultdict
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "events").select("event_id", "user_id", "value").collect()
+    per = defaultdict(list)
+    vc_of = {}
+    for r in rows:
+        vc = int(round(r["value"] * 100))
+        per[r["user_id"]].append(vc)
+        vc_of[r["event_id"]] = (r["user_id"], vc)
+    mom = {
+        u: (len(v), sum(v), sum(x * x for x in v)) for u, v in per.items()
+    }
+    got = {
+        r["event_id"]: r["is_outlier"]
+        for r in E.events_zscore_outliers(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(vc_of)
+    n_out = 0
+    for eid, (u, vc) in vc_of.items():
+        n, s, qq = mom[u]
+        want = int((n * vc - s) ** 2 > 4 * (n * qq - s * s))
+        assert got[eid] == want, eid
+        n_out += want
+    assert 0 < n_out < len(vc_of)

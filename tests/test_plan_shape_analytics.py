@@ -319,3 +319,28 @@ def test_quality_classifier_broadcasts_model(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
     assert "partial_count" in p or "partial" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_events_skyline_two_stage(spark):
+    """Stage-1 window partitions by the hash bucket (local prune) so the
+    only unpartitioned window runs over the pruned survivors; the raw
+    scan never feeds a single-task window directly."""
+    from analytics import events as E
+
+    p = plan(E.events_skyline(spark, SF_TEST))
+    assert p.count("Window") >= 2
+    assert "pmod" in p and "xxhash64" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_events_zscore_codegen_partials(spark):
+    """The moments agg carries map-side partials (partial_count/sum below
+    the Exchange) and the whole flag pipeline stays JVM-side; the
+    moments-join strategy itself is left to Catalyst size stats
+    (broadcast at test scale, shuffle reusing the agg's user_id
+    partitioning once the user dim outgrows the threshold)."""
+    from analytics import events as E
+
+    p = plan(E.events_zscore_outliers(spark, SF_TEST))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

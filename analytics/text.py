@@ -1653,3 +1653,125 @@ def doc_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             (logit > 0).cast("int").alias("keep"),
         )
     )
+
+
+# ------------------------------------------- SymSpell spell correction
+SPELL_CORRUPT_MOD = 9  # ~11% of (doc, word) pairs get one char deleted
+
+
+ORACLE["vocab_spell_correct"] = """
+    WITH tok AS (
+      SELECT doc_id, x AS w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS x
+            FROM documents)
+      WHERE regexp_matches(x, '^[a-z]{4,}$')),
+    c AS (
+      SELECT w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || w),
+                   1, 4)) AS BIGINT) % 9 = 0 AS bad,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || w
+                   || ':d'), 1, 2)) AS BIGINT) % length(w) AS INT) AS di
+      FROM tok),
+    dict AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w),
+    miss AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_occ
+      FROM (SELECT substr(w, 1, di) || substr(w, di + 2) AS t
+            FROM c WHERE bad)
+      WHERE t NOT IN (SELECT w FROM dict)
+      GROUP BY t),
+    vars AS (
+      SELECT DISTINCT
+             unnest(list_transform(generate_series(1, length(w)),
+                    i -> substr(w, 1, i - 1) || substr(w, i + 1))) AS variant,
+             w, freq
+      FROM dict),
+    cand AS (
+      SELECT m.t, v.w, v.freq, m.n_occ,
+             row_number() OVER (PARTITION BY m.t
+                                ORDER BY v.freq DESC, v.w) AS rn
+      FROM miss m JOIN vars v ON m.t = v.variant)
+    SELECT t AS misspelled, w AS suggestion, freq, n_occ
+    FROM cand WHERE rn = 1
+"""
+
+
+@q("vocab_spell_correct")
+def vocab_spell_correct(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell dictionary spell correction — the OCR/typo-repair pass a
+    web-text pipeline runs before tokenization.  Misspellings are
+    synthesized deterministically (the doc_html_extract device): each
+    (doc, word) pair whose md5 lands in 1/9 of the space has one
+    md5-chosen character deleted, so Spark, DuckDB, and the pytest's
+    python recompute all see the byte-identical corrupted corpus with no
+    fixture file.
+
+    The correction itself is the SymSpell reduction: instead of a fuzzy
+    scan, index the dictionary by its 1-deletion neighborhood and repair
+    a misspelling with an EXACT-match join (a 1-char deletion of w is,
+    by construction, a member of deletes(w)).  Suggestion = the matching
+    dictionary word with the highest corpus frequency, ties to the
+    lexicographically smallest — exact integers throughout, no distance
+    function in the hot path at all.
+
+    Scale shape: the deletion-neighborhood index is |vocab| * avg_len
+    rows — it scales with the DICTIONARY, not the corpus, and the repair
+    is one equi-join against it (Catalyst broadcasts it at test scale;
+    at a 1e7-type web vocabulary it falls back to a hash join on the
+    variant key, which is exactly SymSpell's hash-table lookup,
+    distributed).  The candidate ranking window partitions by misspelled
+    token — bounded by the handful of dictionary words sharing a
+    deletion, never by corpus size."""
+    tok = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]{4,}$"))
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("w"))
+    bad = (
+        F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long"),
+            F.lit(SPELL_CORRUPT_MOD),
+        )
+        == 0
+    )
+    di = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(":d"))), 1, 2), 16, 10).cast(
+            "long"
+        ),
+        F.length("w"),
+    ).cast("int")
+    dict_df = tok.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    miss = (
+        tok.withColumn("di", di)
+        .where(bad)
+        .select(
+            F.concat(
+                F.expr("substring(w, 1, di)"), F.expr("substring(w, di + 2)")
+            ).alias("t")
+        )
+        .join(dict_df.select(F.col("w").alias("t")), "t", "left_anti")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    variants = dict_df.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)),"
+                " i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"
+            )
+        ).alias("variant"),
+    ).distinct()
+    wrank = Window.partitionBy("t").orderBy(F.desc("freq"), F.asc("w"))
+    return (
+        miss.join(variants, miss.t == variants.variant)
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("misspelled"),
+            F.col("w").alias("suggestion"),
+            "freq",
+            "n_occ",
+        )
+    )

@@ -1406,3 +1406,46 @@ def test_events_zscore_outliers_matches_python(spark):
         assert got[eid] == want, eid
         n_out += want
     assert 0 < n_out < len(vc_of)
+
+
+def test_spell_correct_matches_python(spark):
+    """Full SymSpell pipeline recomputed in pure python: same md5
+    corruption, same dictionary, same deletion-neighborhood match, same
+    (freq desc, word asc) suggestion pick."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    def md5i(s, n):
+        return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    dict_freq, miss_occ = Counter(), Counter()
+    for r in docs:
+        for w in r["text"].lower().split(" "):
+            if not re.fullmatch("[a-z]{4,}", w):
+                continue
+            dict_freq[w] += 1
+            key = f"{r['doc_id']}:{w}"
+            if md5i(key, 4) % T.SPELL_CORRUPT_MOD == 0:
+                di = md5i(key + ":d", 2) % len(w)
+                miss_occ[w[:di] + w[di + 1:]] += 1
+    neigh = {}
+    for w, f in dict_freq.items():
+        for i in range(len(w)):
+            neigh.setdefault(w[:i] + w[i + 1:], []).append((-f, w))
+    want = {}
+    for t, n in miss_occ.items():
+        if t in dict_freq:
+            continue  # collided with a real word: not a detectable miss
+        if t in neigh:
+            negf, w = min(neigh[t])
+            want[t] = (w, -negf, n)
+    got = {
+        r["misspelled"]: (r["suggestion"], r["freq"], r["n_occ"])
+        for r in T.vocab_spell_correct(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

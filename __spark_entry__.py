@@ -51,21 +51,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 37 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 38 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 10 slots
-#      hold.  The 33 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 9 slots
+#      hold.  The 34 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
 #      their real evidence is pytest), 19 trivial-plan relational/split/
 #      sample/rebalance rows, doc_repetition_score, doc_decontaminate,
 #      corpus_bigram_topk, dedup_exact, dedup_clusters, dedup_keep_list,
-#      canonicalize_urls, and pipeline_pretrain_corpus (a composition of
-#      ops that are themselves in-window) — all 31 pass the in-repo parity
-#      mirror (tests/test_analytics_parity) on current code and none
-#      changed since their last green driver row.
+#      canonicalize_urls, robots_longest_prefix, and
+#      pipeline_pretrain_corpus (a composition of ops that are themselves
+#      in-window) — all 32 pass the in-repo parity mirror
+#      (tests/test_analytics_parity) on current code and none changed
+#      since their last green driver row.
 _FRONT = (
     # 1. no driver row yet (first driver run)
     "doc_remove_dup_spans",
@@ -105,6 +106,7 @@ _FRONT = (
     "events_markov",
     "events_zscore_outliers",
     "vocab_spell_correct",
+    "corpus_cms_counts",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -120,7 +122,6 @@ _FRONT = (
     # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)
     "frontier_pop",
     "frontier_merge",
-    "robots_longest_prefix",
 )
 
 

@@ -1775,3 +1775,105 @@ def vocab_spell_correct(spark: SparkSession, sf: str) -> DataFrame:
             "n_occ",
         )
     )
+
+
+# ------------------------------------------ Count-Min sketch heavy hitters
+CMS_DEPTH = 4
+CMS_WIDTH = 4096  # 3 hex chars of md5 — exact, no modulo bias
+CMS_TOPK = 20
+
+
+ORACLE["corpus_cms_counts"] = """
+    WITH tok AS (
+      SELECT x AS w
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS x
+            FROM documents)
+      WHERE regexp_matches(x, '^[a-z]+$')),
+    cells AS (
+      SELECT i AS r,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 3))
+               AS INT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok CROSS JOIN range(4) t(i)
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_true
+      FROM tok GROUP BY w ORDER BY n_true DESC, w LIMIT 20),
+    est AS (
+      SELECT q.w, min(cells.cnt) AS n_est
+      FROM (SELECT t.w, i AS r,
+                   CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t.w),
+                         1, 3)) AS INT) AS c
+            FROM topk t CROSS JOIN range(4) r(i)) q
+      JOIN cells USING (r, c)
+      GROUP BY q.w)
+    SELECT t.w AS term, t.n_true, e.n_est
+    FROM topk t JOIN est e USING (w)
+"""
+
+
+def _cms_cells(w):
+    """The CMS_DEPTH (row, col) cells a term hashes to — md5-derived so
+    Spark, DuckDB, and python agree byte-for-byte."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("r"),
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), w)), 1, 3), 16, 10
+                    )
+                    .cast("int")
+                    .alias("c"),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    )
+
+
+@q("corpus_cms_counts")
+def corpus_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch heavy hitters — the second mergeable-sketch
+    family next to the HLL rollup (a11): approximate term frequencies
+    from a FIXED-size structure.  The sketch is materialized as a
+    (row, col, count) table of at most CMS_DEPTH x CMS_WIDTH cells, which
+    makes it (a) exactly mergeable by cell-wise addition — partial
+    aggregation IS the sketch merge, the property that lets 1000
+    executors each sketch their shard and combine for free — and (b)
+    fully SQL-expressible, so unlike binary-blob sketches this one gets a
+    complete DuckDB twin (exact integers end to end; the CMS guarantee
+    est >= true is asserted per-row in pytest).
+
+    Query side: estimate the counts of the exact top-20 terms (the
+    heavy-hitter readout) as min over the term's CMS_DEPTH cells.
+
+    Scale shape: the token stream collapses into <= 16384 cells with
+    map-side partials — the shuffle is sketch-sized, not corpus-sized;
+    the readout join probes those cells for 20*4 keys (Catalyst
+    broadcasts the sketch — it is model-sized by construction)."""
+    tok = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+    )
+    cells = (
+        tok.select(_cms_cells(F.col("w")).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    topk = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("w"))
+        .limit(CMS_TOPK)
+    )
+    probes = topk.select("w", "n_true", _cms_cells(F.col("w")).alias("rc")).select(
+        "w", "n_true", F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("w", "n_true")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return est.select(F.col("w").alias("term"), "n_true", "n_est")

@@ -68,6 +68,13 @@ HEADLINE = (
     "a11_hll_sketch_rollup",
     "pipeline_multimodal_corpus",
     "j11_salted_skew_join",
+    # round-5d: hashed linear classifier, SymSpell repair, two-stage
+    # skyline, Markov transitions, integer-exact outlier flags
+    "doc_quality_classifier",
+    "vocab_spell_correct",
+    "events_skyline",
+    "events_markov",
+    "events_zscore_outliers",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

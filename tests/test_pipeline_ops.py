@@ -1449,3 +1449,34 @@ def test_spell_correct_matches_python(spark):
         for r in T.vocab_spell_correct(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cms_counts_matches_python_and_bound(spark):
+    """Rebuild the full CMS in python (same md5 cells) — exact cell
+    equality implies the query's estimates; also assert the CMS
+    guarantee est >= true on every emitted heavy hitter."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    def cell(i, w):
+        return int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:3], 16)
+
+    toks = []
+    for r in load(spark, SF_TEST, "documents").select("text").collect():
+        toks += [w for w in r["text"].lower().split(" ") if re.fullmatch("[a-z]+", w)]
+    true = Counter(toks)
+    cms = Counter()
+    for w, n in true.items():
+        for i in range(T.CMS_DEPTH):
+            cms[(i, cell(i, w))] += n
+    got = {r["term"]: r for r in T.corpus_cms_counts(spark, SF_TEST).collect()}
+    want_topk = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[: T.CMS_TOPK]
+    assert set(got) == {w for w, _ in want_topk}
+    for w, n in want_topk:
+        est = min(cms[(i, cell(i, w))] for i in range(T.CMS_DEPTH))
+        assert got[w]["n_true"] == n and got[w]["n_est"] == est
+        assert est >= n  # the Count-Min guarantee

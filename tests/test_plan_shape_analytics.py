@@ -344,3 +344,15 @@ def test_events_zscore_codegen_partials(spark):
     p = plan(E.events_zscore_outliers(spark, SF_TEST))
     assert "partial_count" in p and "partial_sum" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_cms_sketch_sized_shuffle(spark):
+    """The cells agg must carry map-side partials (the shuffle is
+    sketch-sized, not corpus-sized) and the readout broadcasts the
+    sketch; zero Python anywhere."""
+    from analytics import text as T
+
+    p = plan(T.corpus_cms_counts(spark, SF_TEST))
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -184,3 +184,78 @@ def events_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return b.join(a, "user_id").select(
         "event_id", (lhs_base * lhs_base > rhs).cast("int").alias("is_outlier")
     )
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity timeout
+
+
+@q(
+    "events_sessionize",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    g AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                       OR s - lag(s) OVER w >= {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS brk
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    a AS (
+      SELECT user_id, s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_idx
+      FROM g)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(s) AS start_s, max(s) AS end_s,
+           max(s) - min(s) AS duration_s
+    FROM a GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity timeout — the explicit
+    session-ID ASSIGNMENT form (lag gap-flag + running sum), the standard
+    companion to the session_window aggregate (ST5): downstream joins
+    need the id on every event, not just the aggregate.  Emitted here as
+    the per-session rollup (count, bounds, duration) so the driver hash
+    pins both the assignment and the aggregation.
+
+    Ordering key is (floor-epoch second, event_id) — the shared total
+    order, so tied timestamps sessionize identically on both engines,
+    and gap arithmetic is exact integers.
+
+    Scale shape: ONE user_id Exchange feeds both windows and the rollup
+    (identical partition+order keys — Spark plans a single sort, three
+    pipelined operators); per-user sequences are bounded, so there is no
+    global sort and no skew pole beyond a power user, which stays a
+    single in-memory partition chunk."""
+    b = load(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    brk = (
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.col("s") - F.lag("s").over(w) >= SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    run = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.select("user_id", "event_id", "s", brk)
+        .select("user_id", "s", F.sum("brk").over(run).alias("session_idx"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("s").alias("start_s"),
+            F.max("s").alias("end_s"),
+            (F.max("s") - F.min("s")).alias("duration_s"),
+        )
+    )

@@ -455,3 +455,89 @@ def link_triangles(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# --- label-propagation communities ----------------------------------------
+LP_ROUNDS = 4
+
+
+def _lp_iter_sql(i: int) -> str:
+    return f"""
+  c{i} AS (SELECT a.v, l.lbl, count(*) AS cnt
+           FROM adj a JOIN lp{i - 1} l ON l.node = a.u
+           GROUP BY a.v, l.lbl),
+  m{i} AS (SELECT v, lbl, cnt, max(cnt) OVER (PARTITION BY v) AS mc
+           FROM c{i}),
+  lp{i} AS (SELECT v AS node, min(lbl) AS lbl
+            FROM m{i} WHERE cnt = mc GROUP BY v)
+"""
+
+
+@q(
+    "link_label_prop",
+    "WITH "
+    + ",".join(
+        [
+            _EDGES_SQL.replace(
+                "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+                """adj AS (SELECT node AS v, node AS u FROM nodes
+            UNION ALL SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+  lp0 AS (SELECT node, node AS lbl FROM nodes)""",
+            )
+        ]
+        + [_lp_iter_sql(i) for i in range(1, LP_ROUNDS + 1)]
+    )
+    + f"""
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM lp{LP_ROUNDS}
+    """,
+)
+def link_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al.): LP_ROUNDS rounds of lbl(v) <- the most frequent label among
+    v's undirected neighbors plus its own (self-preference variant),
+    ties broken by the smallest label — a total order, so the fixed-trip
+    result is deterministic and the DuckDB oracle unrolls it exactly
+    (the link_pagerank device).
+
+    Scale shape: each round is ONE (v, lbl) hash agg with map-side
+    partials followed by ONE agg per v — the per-node argmax is
+    expressed as max(struct(cnt, -lbl)), which partial-aggregates
+    (unlike a window over neighbor labels, there is no per-node sort and
+    no high-degree-hub window pole; AQE skew-splits the hub keys of the
+    first agg).  localCheckpoint per round keeps the plan O(1) in the
+    round count."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = (
+        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+        .union(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint()
+    )
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(LP_ROUNDS):
+        lbl = (
+            adj.join(lbl.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("b"))
+            .select("node", (-F.col("b.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return lbl.select("node", F.col("lbl").cast("long").alias("community"))

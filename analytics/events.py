@@ -259,3 +259,61 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             (F.max("s") - F.min("s")).alias("duration_s"),
         )
     )
+
+
+WEEK_S = 604800  # epoch weeks — integer cohort keys on both engines
+
+
+@q(
+    "events_retention_cohorts",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / {WEEK_S}) AS BIGINT) AS wk
+      FROM events),
+    fw AS (SELECT user_id, min(wk) AS cohort FROM b GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, wk FROM b),
+    k AS (
+      SELECT f.cohort, a.wk - f.cohort AS k,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM act a JOIN fw f USING (user_id)
+      GROUP BY f.cohort, a.wk - f.cohort),
+    base AS (SELECT cohort, n_users AS n0 FROM k WHERE k = 0)
+    SELECT k.cohort, k.k, k.n_users,
+           round(CAST(k.n_users AS DOUBLE) / b.n0, 4) AS retention
+    FROM k JOIN base b USING (cohort)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix — THE product-analytics rollup: users
+    cohorted by their first active epoch-week, and for each offset k the
+    share of the cohort still active k weeks later.  Week keys are exact
+    integers (floor epoch/604800 — the st3/w5 floor convention), counts
+    are exact distincts, and retention is one rounded division per cell
+    (k=0 is 1.0 by construction — every user is active in their cohort
+    week — which doubles as a self-check).
+
+    Scale shape: first-week and the activity set are user_id-keyed aggs
+    on one shared partitioning; their join is user_id-to-user_id on that
+    same partitioning; the (cohort, k) rollup uses Spark's two-phase
+    exact count-distinct (partial dedup before the shuffle); the k=0
+    base table is cohort-count-sized — metadata — and broadcasts back
+    onto the matrix."""
+    b = load(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / WEEK_S).cast("long").alias("wk"),
+    )
+    fw = b.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = b.distinct()
+    k = (
+        act.join(fw, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("k"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    base = k.where(F.col("k") == 0).select("cohort", F.col("n_users").alias("n0"))
+    return k.join(F.broadcast(base), "cohort").select(
+        "cohort",
+        "k",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n0"), 4).alias("retention"),
+    )

@@ -1555,3 +1555,32 @@ def test_sessionize_matches_python(spark):
     }
     assert got == want
     assert any(n > 1 for n, *_ in want.values())  # multi-event sessions exist
+
+
+def test_retention_cohorts_matches_python(spark):
+    """Cohort matrix recomputed with sets; k=0 retention must be 1.0."""
+    from collections import defaultdict
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "events").select("user_id", "ts").collect()
+    weeks = defaultdict(set)
+    for r in rows:
+        weeks[r["user_id"]].add(
+            int(r["ts"].replace(tzinfo=None).timestamp()) // E.WEEK_S
+        )
+    cells = defaultdict(set)
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            cells[(c, w - c)].add(u)
+    got = {
+        (r["cohort"], r["k"]): (r["n_users"], r["retention"])
+        for r in E.events_retention_cohorts(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(cells)
+    for key, users in cells.items():
+        n0 = len(cells[(key[0], 0)])
+        assert got[key] == (len(users), round(len(users) / n0, 4))
+    assert all(r == 1.0 for (c, k), (_, r) in got.items() if k == 0)

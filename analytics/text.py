@@ -1877,3 +1877,56 @@ def corpus_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("cnt").alias("n_est"))
     )
     return est.select(F.col("w").alias("term"), "n_true", "n_est")
+
+
+ORACLE["doc_global_order"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                AS BIGINT) AS global_pos
+    FROM documents
+"""
+
+
+@q("doc_global_order")
+def doc_global_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Global consecutive position assignment under a total order — the
+    curriculum-ordering / training-shard-layout primitive (write the
+    corpus in length-descending order, cut fixed-size shards by
+    position).  The naive plan is row_number() over one unpartitioned
+    window: a single task materializing the full corpus.  This is the
+    scalable two-phase form, pure DataFrame API:
+
+      1. repartitionByRange on the total key (range exchange — every
+         partition holds a contiguous key interval, partition ids
+         ascending with the order),
+      2. per-partition local row_number (bounded window: partitioned by
+         spark_partition_id),
+      3. per-partition counts -> cumulative offsets (partition-count
+         rows — metadata) broadcast back; global_pos = offset + local rn.
+
+    Correctness does not depend on where the sampled range boundaries
+    fall: the key (n_chars DESC, doc_id) is total and unique, so
+    offset + local rank equals the global rank for ANY contiguous
+    partitioning.  The oracle is the single-window definition itself.
+
+    Scale shape: one range exchange of the corpus (the same cost a
+    global sort-write pays anyway), one metadata agg, one broadcast —
+    no single-task stage anywhere."""
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .repartitionByRange(F.desc("n_chars"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_loc = Window.partitionBy("pid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    local = d.withColumn("rn", F.row_number().over(w_loc))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "off")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("off") + F.col("rn") - 1).cast("long").alias("global_pos")
+    )

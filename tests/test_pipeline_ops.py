@@ -1584,3 +1584,21 @@ def test_retention_cohorts_matches_python(spark):
         n0 = len(cells[(key[0], 0)])
         assert got[key] == (len(users), round(len(users) / n0, 4))
     assert all(r == 1.0 for (c, k), (_, r) in got.items() if k == 0)
+
+
+def test_global_order_is_exact_rank(spark):
+    """global_pos must be exactly the python sort rank under
+    (n_chars desc, doc_id asc) — a permutation of 0..n-1 — regardless of
+    where the range-partition boundaries fell."""
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "n_chars").collect()
+    order = sorted(docs, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    want = {r["doc_id"]: i for i, r in enumerate(order)}
+    got = {
+        r["doc_id"]: r["global_pos"]
+        for r in T.doc_global_order(spark, SF_TEST).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(len(docs)))

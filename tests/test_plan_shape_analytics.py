@@ -356,3 +356,18 @@ def test_cms_sketch_sized_shuffle(spark):
     assert "partial_count" in p
     assert "BroadcastHashJoin" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_global_order_no_corpus_single_task_window(spark):
+    """The corpus-sized window must be partitioned (by spark_partition_id
+    after the range exchange); the only unpartitioned window runs over
+    the partition-count offsets table.  Assert the plan carries a range
+    exchange + a partitioned window, and the offsets come back via
+    broadcast."""
+    from analytics import text as T
+
+    p = plan(T.doc_global_order(spark, SF_TEST))
+    assert "rangepartitioning" in p.lower()
+    assert "SPARK_PARTITION_ID" in p or "spark_partition_id" in p
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

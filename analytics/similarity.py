@@ -1113,3 +1113,70 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= PQ_TOPK)
         .select("qid", "cid", "rk", "d2")
     )
+
+
+# ---------------------------------------------- embedding drift monitor
+ORACLE["emb_drift_check"] = """
+    WITH g AS (
+      SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp,
+             embedding
+      FROM embeddings),
+    d AS (
+      SELECT grp, j - 1 AS dim,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+               AS vc
+      FROM g, unnest(range(1, len(embedding) + 1)) t(j)),
+    m AS (
+      SELECT grp, dim,
+             CAST(round(CAST(sum(vc) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mean_micro
+      FROM d GROUP BY grp, dim)
+    SELECT a.dim, a.mean_micro AS mean_a, b.mean_micro AS mean_b,
+           abs(a.mean_micro - b.mean_micro) AS shift_micro
+    FROM m a JOIN m b USING (dim)
+    WHERE a.grp = 'a' AND b.grp = 'b'
+"""
+
+
+@q("emb_drift_check")
+def emb_drift_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the data-quality check a
+    production embedding pipeline runs between two corpus slices (old
+    model vs new, last week vs this week): per-dimension mean shift.
+    Slices here are an md5 split of vec_id (the doc_split_assign
+    device), so the comparison is deterministic with no fixture.
+
+    Parity device: components land on the x1e6 integer grid (float32 ->
+    float64 is exact, one round), per-(slice, dim) sums are exact
+    BIGINTs, and each mean is one correctly-rounded division — the
+    kmeans/centroid integer-grid family, immune to summation order.
+
+    Scale shape: posexplode fans each vector into d rows, but map-side
+    partial aggregation collapses them to (2 * d) rows per task before
+    the shuffle — the exchange is model-sized, not corpus-sized; the
+    final a/b self-join runs on 2*d rows (metadata)."""
+    g = load_spread(spark, sf, "embeddings").select(
+        F.when(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8", "a")
+        .otherwise("b")
+        .alias("grp"),
+        "embedding",
+    )
+    d = g.select(
+        "grp", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "grp",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("vc"),
+    )
+    m = d.groupBy("grp", "dim").agg(
+        F.round(F.sum("vc") / F.count("*")).cast("long").alias("mean_micro")
+    )
+    a = m.where(F.col("grp") == "a").select("dim", F.col("mean_micro").alias("mean_a"))
+    b = m.where(F.col("grp") == "b").select("dim", F.col("mean_micro").alias("mean_b"))
+    return a.join(b, "dim").select(
+        "dim",
+        "mean_a",
+        "mean_b",
+        F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift_micro"),
+    )

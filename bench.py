@@ -75,6 +75,13 @@ HEADLINE = (
     "events_skyline",
     "events_markov",
     "events_zscore_outliers",
+    # round-5e: CMS heavy hitters, label-prop communities, sessionization,
+    # retention cohorts, two-phase global ordering
+    "corpus_cms_counts",
+    "link_label_prop",
+    "events_sessionize",
+    "events_retention_cohorts",
+    "doc_global_order",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

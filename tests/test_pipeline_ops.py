@@ -1602,3 +1602,39 @@ def test_global_order_is_exact_rank(spark):
     }
     assert got == want
     assert sorted(got.values()) == list(range(len(docs)))
+
+
+def test_emb_drift_matches_python(spark):
+    """Per-dim slice means recomputed with python ints on the same md5
+    split and x1e6 grid."""
+    import hashlib
+    from collections import defaultdict
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "embeddings").collect()
+    sums = defaultdict(lambda: [0, 0])  # (grp, dim) -> [sum, n]
+    for r in rows:
+        grp = "a" if hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[0] < "8" else "b"
+        for dim, v in enumerate(r["embedding"]):
+            x = float(v) * 1_000_000
+            # engines round half away from zero (python round is banker's)
+            vc = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+            cell = sums[(grp, dim)]
+            cell[0] += vc
+            cell[1] += 1
+    import math
+
+    def mean_micro(s, n):
+        x = s / n
+        return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+    got = {r["dim"]: r for r in S.emb_drift_check(spark, SF_TEST).collect()}
+    dims = {d for (_, d) in sums}
+    assert set(got) == dims and len(dims) > 0
+    for d in dims:
+        ma = mean_micro(*sums[("a", d)])
+        mb = mean_micro(*sums[("b", d)])
+        r = got[d]
+        assert (r["mean_a"], r["mean_b"], r["shift_micro"]) == (ma, mb, abs(ma - mb))

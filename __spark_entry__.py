@@ -51,21 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 43 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 44 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 4 slots
-#      hold.  The 39 dropped from the window are the 6 stale rows-only
+#   3. as many of the r02/r03-stale queries as the remaining 3 slots
+#      hold.  The 40 dropped from the window are the 6 stale rows-only
 #      entries (a fresh driver row would still be a weak rows-only check;
 #      their real evidence is pytest), 19 trivial-plan relational/split/
 #      sample/rebalance rows, doc_repetition_score, doc_decontaminate,
 #      corpus_bigram_topk, dedup_exact, dedup_clusters, dedup_keep_list,
 #      canonicalize_urls, robots_longest_prefix, frontier_merge,
 #      st5_session_window, w1_row_number_topk, a1_hash_agg, j7_asof_join,
-#      and pipeline_pretrain_corpus (a composition of
-#      ops that are themselves in-window) — all 37 pass the in-repo parity
+#      j4_left_anti_join, and pipeline_pretrain_corpus (a composition of
+#      ops that are themselves in-window) — all 38 pass the in-repo parity
 #      mirror (tests/test_analytics_parity) on current code and none
 #      changed since their last green driver row (frontier_merge and st5
 #      additionally carry cell-merge / stream==batch pytest suites).
@@ -114,6 +114,7 @@ _FRONT = (
     "events_retention_cohorts",
     "doc_global_order",
     "emb_drift_check",
+    "dedup_prefix_jaccard",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
@@ -121,7 +122,6 @@ _FRONT = (
     # 3. last driver row r03: relational surface
     "j1_broadcast_join",
     "j2_shuffle_join_agg",
-    "j4_left_anti_join",
     # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)
     "frontier_pop",
 )

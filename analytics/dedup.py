@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from analytics.common import load, load_spread
@@ -596,4 +596,90 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents")
         .select("doc_id")
         .join(drop.select("doc_id"), "doc_id", "left_anti")
+    )
+
+
+# ------------------------------------------ PPJoin prefix-filtered Jaccard
+PPJ_NUM, PPJ_DEN = 3, 10  # threshold t = 0.3, kept exact-rational
+
+
+@q(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE n_common * {PPJ_DEN} >= {PPJ_NUM} * (sa.n + sb.n - n_common)
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-similarity join with PPJoin/SSJoin PREFIX FILTERING (Bayardo
+    et al., Chaudhuri et al.): order every doc's shingles by global
+    rarity (document frequency asc, shingle asc) and index only each
+    doc's first n - ceil(t*n) + 1 shingles.  Two docs with Jaccard >= t
+    MUST share a prefix shingle (if the first shared element sits past
+    A's prefix, at most ceil(t|A|) - 1 elements of A are shared, yet
+    jac >= t forces |A∩B| >= t|A| — contradiction), so the pruning is
+    LOSSLESS: the result set equals the any-shared-shingle exact join at
+    the same threshold, which is exactly what the DuckDB twin computes
+    and what the pytest asserts.
+
+    The verify step intersects the two full (per-doc, bounded) shingle
+    arrays, and the accept predicate is the exact rational
+    n_common * 10 >= 3 * union — no float ever decides membership.
+
+    Scale shape vs dedup_ngram_jaccard (the unfiltered inverted join):
+    the index join shrinks by the prefix factor (~t of all postings
+    dropped), and — the real win at web scale — the FREQUENT shingles
+    are precisely the ones pruned first (rarity order), so the hot
+    posting lists that drive the join's skew never enter the index.
+    The df table is shingle-keyed and distributable; per-doc windows are
+    bounded by doc length."""
+    shd = _shingles(spark, sf)
+    dfreq = shd.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        shd.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    p = F.col("n") - F.floor((PPJ_NUM * F.col("n") + PPJ_DEN - 1) / PPJ_DEN) + 1
+    prefix = ranked.where(F.col("rn") <= p).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    arrs = _shingle_arrays(spark, sf).select(
+        "doc_id", F.array_sort("shingles").alias("sh")
+    )
+    s1, s2 = arrs.alias("s1"), arrs.alias("s2")
+    j = (
+        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("s1.sh", "s2.sh")).alias("n_common"),
+            F.size("s1.sh").alias("n1"),
+            F.size("s2.sh").alias("n2"),
+        )
+    )
+    union = F.col("n1") + F.col("n2") - F.col("n_common")
+    return j.where(F.col("n_common") * PPJ_DEN >= PPJ_NUM * union).select(
+        "d1", "d2", F.round(F.col("n_common") / union, 4).alias("jaccard")
     )

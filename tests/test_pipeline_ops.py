@@ -1638,3 +1638,43 @@ def test_emb_drift_matches_python(spark):
         mb = mean_micro(*sums[("b", d)])
         r = got[d]
         assert (r["mean_a"], r["mean_b"], r["shift_micro"]) == (ma, mb, abs(ma - mb))
+
+
+def test_prefix_jaccard_lossless_and_prunes(spark):
+    """PPJoin prefix filtering must (a) return EXACTLY the ground-truth
+    jaccard >= 3/10 pairs (lossless pruning theorem) and (b) actually
+    index fewer postings than the unfiltered inverted join."""
+    from fractions import Fraction
+
+    from analytics import dedup as D
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        tri = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if tri:
+            sets[r["doc_id"]] = tri
+    ids = sorted(sets)
+    want = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1] | sets[d2])
+            if inter * D.PPJ_DEN >= D.PPJ_NUM * union:
+                want[(d1, d2)] = round(inter / union, 4)
+            assert (inter * D.PPJ_DEN >= D.PPJ_NUM * union) == (
+                Fraction(inter, union) >= Fraction(D.PPJ_NUM, D.PPJ_DEN)
+            )
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in D.dedup_prefix_jaccard(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0
+    # pruning: total prefix postings < total postings
+    n_all = sum(len(s) for s in sets.values())
+    n_prefix = sum(
+        len(s) - -(-D.PPJ_NUM * len(s) // D.PPJ_DEN) + 1 for s in sets.values()
+    )
+    assert n_prefix < n_all

@@ -51,23 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 44 round-5 ops with NO driver row in any round (oracle-backed
+#   1. the 46 round-5 ops with NO driver row in any round (oracle-backed
 #      local parity only),
 #   2. the 3 queries whose plan or oracle changed this round after their
 #      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
 #      centroids, minhash single signature join-back),
-#   3. as many of the r02/r03-stale queries as the remaining 3 slots
-#      hold.  The 40 dropped from the window are the 6 stale rows-only
-#      entries (a fresh driver row would still be a weak rows-only check;
-#      their real evidence is pytest), 19 trivial-plan relational/split/
-#      sample/rebalance rows, doc_repetition_score, doc_decontaminate,
-#      corpus_bigram_topk, dedup_exact, dedup_clusters, dedup_keep_list,
-#      canonicalize_urls, robots_longest_prefix, frontier_merge,
-#      st5_session_window, w1_row_number_topk, a1_hash_agg, j7_asof_join,
-#      j4_left_anti_join, and pipeline_pretrain_corpus (a composition of
-#      ops that are themselves in-window) — all 38 pass the in-repo parity
-#      mirror (tests/test_analytics_parity) on current code and none
-#      changed since their last green driver row (frontier_merge and st5
+#   3. the flagship frontier_pop takes the last slot.  The 42 dropped from
+#      the window are the 6 stale rows-only entries (a fresh driver row
+#      would still be a weak rows-only check; their real evidence is
+#      pytest), 19 trivial-plan relational/split/sample/rebalance rows,
+#      doc_repetition_score, doc_decontaminate, corpus_bigram_topk,
+#      dedup_exact, dedup_clusters, dedup_keep_list, canonicalize_urls,
+#      robots_longest_prefix, frontier_merge, st5_session_window,
+#      w1_row_number_topk, a1_hash_agg, j7_asof_join, j4_left_anti_join,
+#      j1_broadcast_join, j2_shuffle_join_agg, and
+#      pipeline_pretrain_corpus (a composition of ops that are themselves
+#      in-window) — all 40 pass the in-repo parity mirror
+#      (tests/test_analytics_parity) on current code and none changed
+#      since their last green driver row (frontier_merge and st5
 #      additionally carry cell-merge / stream==batch pytest suites).
 _FRONT = (
     # 1. no driver row yet (first driver run)
@@ -115,14 +116,13 @@ _FRONT = (
     "doc_global_order",
     "emb_drift_check",
     "dedup_prefix_jaccard",
+    "index_phrase_topk",
+    "doc_domain_cap",
     # 2. plan/oracle changed in r05 after their r04 driver row
     "w5_range_frame",
     "kmeans_train",
     "dedup_minhash_lsh",
-    # 3. last driver row r03: relational surface
-    "j1_broadcast_join",
-    "j2_shuffle_join_agg",
-    # 3. last driver row r03: crawl-dataflow queries (oracle/constructive)
+    # 3. the flagship (last driver row r03)
     "frontier_pop",
 )
 

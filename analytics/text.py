@@ -1930,3 +1930,104 @@ def doc_global_order(spark: SparkSession, sf: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "pid").select(
         "doc_id", (F.col("off") + F.col("rn") - 1).cast("long").alias("global_pos")
     )
+
+
+# --------------------------------------------- positional phrase search
+PHRASE = ("table", "hash")  # fixed 2-term phrase (the index_bm25 device)
+PHRASE_TOPK = 10
+
+
+ORACLE["index_phrase_topk"] = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    p1 AS (SELECT doc_id, pos FROM w WHERE word = '{PHRASE[0]}'),
+    p2 AS (SELECT doc_id, pos FROM w WHERE word = '{PHRASE[1]}'),
+    h AS (
+      SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      GROUP BY p1.doc_id)
+    SELECT doc_id, n_hits FROM h
+    ORDER BY n_hits DESC, doc_id LIMIT {PHRASE_TOPK}
+"""
+
+
+@q("index_phrase_topk")
+def index_phrase_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Phrase query over POSITIONAL postings — the consumer that makes an
+    inverted index (index_postings) support quoted search: occurrences of
+    '{w1} {w2}' are the positions p in {w1}'s posting list with p+1 in
+    {w2}'s, intersected per document; top docs by occurrence count with
+    doc_id tie-break (the index_bm25_topk fixed-query device).
+
+    Scale shape: only the two query terms' postings survive the filter —
+    pushed below the shuffle, so the adjacency join moves two posting
+    lists, not the corpus; the join keys on doc_id (co-partitioned with
+    the per-doc count that follows), and the top-k is a TakeOrdered, not
+    a global sort."""
+    w = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "word"))
+        # oracle positions are 1-based generate_subscripts
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "word")
+    )
+    p1 = w.where(F.col("word") == PHRASE[0]).select("doc_id", "pos")
+    p2 = w.where(F.col("word") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(PHRASE_TOPK)
+    )
+
+
+# ------------------------------------------------ FineWeb-style domain cap
+DOMAIN_CAP = 15  # max docs kept per source
+CAP_SALT = 8
+
+
+ORACLE["doc_domain_cap"] = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= {DOMAIN_CAP}
+"""
+
+
+@q("doc_domain_cap")
+def doc_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap — the FineWeb/RefinedWeb curation step that
+    stops one giant site from dominating the corpus: keep at most
+    DOMAIN_CAP docs per source, chosen by md5(doc_id) rank so the kept
+    set is deterministic, uniform over the domain's docs, and stable
+    under repartitioning and corpus append order.
+
+    Scale shape: a hot domain holds millions of docs, so the naive
+    per-source window is the SAME hot-host pole F5 defuses — re-apply
+    the two-stage salted rank: stage 1 ranks within (source, salt) and
+    keeps <= CAP per cell (a doc outside its cell's top-CAP cannot be in
+    the source's top-CAP), stage 2 ranks the <= CAP*SALT survivors per
+    source exactly.  The oracle is the single-window definition; equality
+    is the F5 theorem (total key: md5, doc_id)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("doc_id"), F.lit(CAP_SALT))
+    ).orderBy("k", "doc_id")
+    s1 = d.withColumn("rn1", F.row_number().over(w1)).where(
+        F.col("rn1") <= DOMAIN_CAP
+    )
+    w2 = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        s1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source")
+    )

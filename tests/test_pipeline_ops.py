@@ -1678,3 +1678,55 @@ def test_prefix_jaccard_lossless_and_prunes(spark):
         len(s) - -(-D.PPJ_NUM * len(s) // D.PPJ_DEN) + 1 for s in sets.values()
     )
     assert n_prefix < n_all
+
+
+def test_phrase_topk_matches_python(spark):
+    """Occurrence counts of the fixed phrase recomputed with python."""
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    counts = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        n = sum(
+            1
+            for i in range(len(ws) - 1)
+            if ws[i] == T.PHRASE[0] and ws[i + 1] == T.PHRASE[1]
+        )
+        if n:
+            counts[r["doc_id"]] = n
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: T.PHRASE_TOPK]
+    got = [
+        (r["doc_id"], r["n_hits"])
+        for r in T.index_phrase_topk(spark, SF_TEST).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want and len(got) > 0
+
+
+def test_domain_cap_matches_python(spark):
+    """Two-stage salted cap == the single-window definition recomputed in
+    python; every source keeps min(CAP, size) docs."""
+    import hashlib
+    from collections import defaultdict
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "source").collect()
+    per = defaultdict(list)
+    for r in docs:
+        per[r["source"]].append(r["doc_id"])
+    want = set()
+    for src, ids in per.items():
+        ids.sort(key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        want |= {(d, src) for d in ids[: T.DOMAIN_CAP]}
+    got = {
+        (r["doc_id"], r["source"])
+        for r in T.doc_domain_cap(spark, SF_TEST).collect()
+    }
+    assert got == want
+    sizes = defaultdict(int)
+    for _, src in got:
+        sizes[src] += 1
+    assert all(v == min(T.DOMAIN_CAP, len(per[s])) for s, v in sizes.items())

@@ -644,42 +644,58 @@ def dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     posting lists that drive the join's skew never enter the index.
     The df table is shingle-keyed and distributable; per-doc windows are
     bounded by doc length."""
-    shd = _shingles(spark, sf)
+    # the sorted shingle arrays feed BOTH the prefix build and the verify
+    # step: persist once (the interpreted trigram transform is the most
+    # expensive narrow stage — recomputing it 3x measured 16.7 s vs 10.5 s
+    # at sf0.1); per-doc set size comes from size(array), not a window
+    arrs = _shingle_arrays(spark, sf).select(
+        "doc_id", F.array_sort("shingles").alias("sh"), F.size("shingles").alias("n")
+    ).persist()
+    shd = arrs.select("doc_id", "n", F.explode("sh").alias("shingle"))
     dfreq = shd.groupBy("shingle").agg(F.count("*").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        shd.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-    )
+    ranked = shd.join(dfreq, "shingle").withColumn("rn", F.row_number().over(w_doc))
     p = F.col("n") - F.floor((PPJ_NUM * F.col("n") + PPJ_DEN - 1) / PPJ_DEN) + 1
-    prefix = ranked.where(F.col("rn") <= p).select("doc_id", "shingle")
+    prefix = ranked.where(F.col("rn") <= p).select("doc_id", "shingle", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin length filter rides the join: jac >= t forces
+    # t * max(|A|,|B|) <= min(|A|,|B|) — disparate sizes never pair up
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * PPJ_DEN >= PPJ_NUM * F.col("b.n"))
+            & (F.col("b.n") * PPJ_DEN >= PPJ_NUM * F.col("a.n")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        # NO distinct here: duplicate candidates (pair sharing several
+        # prefix shingles) are rare (<1% measured), so deduping the
+        # verified survivors (hundreds of rows) beats shuffling the full
+        # candidate stream just to dedup it
     )
-    arrs = _shingle_arrays(spark, sf).select(
-        "doc_id", F.array_sort("shingles").alias("sh")
+    s1 = arrs.select(
+        F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1")
     )
-    s1, s2 = arrs.alias("s1"), arrs.alias("s2")
-    j = (
-        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            F.size(F.array_intersect("s1.sh", "s2.sh")).alias("n_common"),
-            F.size("s1.sh").alias("n1"),
-            F.size("s2.sh").alias("n2"),
-        )
+    s2 = arrs.select(
+        F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2")
+    )
+    # AQE coalesces the candidate stream to a handful of partitions (its
+    # BYTES are small) but each row pays an array_intersect over ~100
+    # strings — the small-bytes/heavy-CPU mismatch load_spread documents.
+    # Spread the verify across cores explicitly; the extra shuffle moves
+    # only (d1, d2) longs.
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
+    j = cand.join(s1, "d1").join(s2, "d2").select(
+        "d1",
+        "d2",
+        F.size(F.array_intersect("sh1", "sh2")).alias("n_common"),
+        "n1",
+        "n2",
     )
     union = F.col("n1") + F.col("n2") - F.col("n_common")
-    return j.where(F.col("n_common") * PPJ_DEN >= PPJ_NUM * union).select(
-        "d1", "d2", F.round(F.col("n_common") / union, 4).alias("jaccard")
+    return (
+        j.where(F.col("n_common") * PPJ_DEN >= PPJ_NUM * union)
+        .select("d1", "d2", F.round(F.col("n_common") / union, 4).alias("jaccard"))
+        .dropDuplicates(["d1", "d2"])
     )

@@ -82,6 +82,11 @@ HEADLINE = (
     "events_sessionize",
     "events_retention_cohorts",
     "doc_global_order",
+    # round-5f: drift monitor, lossless PPJoin, phrase search, domain cap
+    "emb_drift_check",
+    "dedup_prefix_jaccard",
+    "index_phrase_topk",
+    "doc_domain_cap",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

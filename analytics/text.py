@@ -2031,3 +2031,139 @@ def doc_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= DOMAIN_CAP)
         .select("doc_id", "source")
     )
+
+
+# --- C4-style line-level cleaning (round 5g) ---------------------------------
+# Raffel et al. 2020 (C4): keep only lines that end in terminal punctuation,
+# have enough words, and carry no javascript/lone-brace boilerplate; drop
+# documents left with too few lines.  The fixture docs are single-line word
+# soup, so the line structure is SYNTHESIZED deterministically (the
+# vocab_spell_correct / doc_pii_scrub md5-augmentation device): the text is
+# re-lined every C4_LINE_W words and each line's defects (missing terminal
+# period, injected 'javascript', injected '{') are keyed by
+# md5(doc_id:line_no) so both engines build byte-identical dirty lines.
+C4_LINE_W = 8  # words per synthesized line
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+# 16-bit defect key for line i of doc_id (DuckDB spelling).
+_C4_H = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 1, 4)) AS INT)"
+)
+_C4_BASE = (
+    f"array_to_string(list_slice(ws, i*{C4_LINE_W} + 1, "
+    f"i*{C4_LINE_W} + {C4_LINE_W}), ' ')"
+)
+# defect layering: h%7==0 -> boilerplate token, h%11==0 -> lone brace,
+# h%5!=0 -> terminal period (so ~20% of lines lack one)
+_C4_AUG = f"""CASE WHEN {_C4_H} % 5 != 0 THEN
+             (CASE WHEN {_C4_H} % 11 = 0 THEN
+                (CASE WHEN {_C4_H} % 7 = 0 THEN {_C4_BASE} || ' javascript required'
+                      ELSE {_C4_BASE} END) || ' {{'
+              ELSE
+                (CASE WHEN {_C4_H} % 7 = 0 THEN {_C4_BASE} || ' javascript required'
+                      ELSE {_C4_BASE} END) END) || '.'
+           ELSE
+             (CASE WHEN {_C4_H} % 11 = 0 THEN
+                (CASE WHEN {_C4_H} % 7 = 0 THEN {_C4_BASE} || ' javascript required'
+                      ELSE {_C4_BASE} END) || ' {{'
+              ELSE
+                (CASE WHEN {_C4_H} % 7 = 0 THEN {_C4_BASE} || ' javascript required'
+                      ELSE {_C4_BASE} END) END)
+           END"""
+
+ORACLE["doc_c4_clean"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE length(text) > 0),
+    a AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(floor((len(ws) - 1) / {C4_LINE_W}) AS INT)),
+               i -> {_C4_AUG}) AS aug
+      FROM w),
+    k AS (
+      SELECT doc_id, aug,
+             list_filter(aug, s ->
+               ends_with(s, '.')
+               AND len(string_split(s, ' ')) >= {C4_MIN_LINE_WORDS}
+               AND strpos(s, 'javascript') = 0
+               AND strpos(s, '{{') = 0) AS kept
+      FROM a)
+    SELECT doc_id,
+           len(aug) AS n_lines,
+           len(kept) AS n_kept,
+           CAST(len(kept) >= {C4_MIN_KEPT_LINES} AS INT) AS keep_doc,
+           -- array_to_string of an empty list is NULL in DuckDB; Spark's
+           -- array_join gives '' — coalesce so both hash md5('')
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash
+    FROM k
+"""
+
+
+@q("doc_c4_clean")
+def doc_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning gate (Raffel et al. 2020): re-line each doc
+    every C4_LINE_W words with md5-keyed synthetic defects, then keep only
+    lines that end in '.', have >= C4_MIN_LINE_WORDS words, and contain no
+    'javascript' token or '{'; a doc survives with >= C4_MIN_KEPT_LINES
+    kept lines.  Returns per-doc line counts, the keep flag, and the md5 of
+    the cleaned text so the driver compares full content without shipping
+    megabyte rows (the doc_pii_scrub device).
+
+    Scale shape: stateless per-row array HOFs (split/transform/filter)
+    inside WholeStageCodegen — zero shuffles, zero Python, linear in input
+    splits; the read schema prunes to (doc_id, text).  At 100 TB this is
+    the cheapest possible pass: one scan, no exchange, no driver state."""
+    d = load(spark, sf, "documents").where(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size(words) - 1) / C4_LINE_W).cast("int")
+    )
+
+    def _aug(i):
+        base = F.array_join(
+            F.slice(words, i * C4_LINE_W + F.lit(1), C4_LINE_W), " "
+        )
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            )
+            .cast("int")
+        )
+        s = F.when(
+            h % 7 == 0, F.concat(base, F.lit(" javascript required"))
+        ).otherwise(base)
+        s = F.when(h % 11 == 0, F.concat(s, F.lit(" {"))).otherwise(s)
+        return F.when(h % 5 != 0, F.concat(s, F.lit("."))).otherwise(s)
+
+    def _keep(s):
+        return (
+            F.endswith(s, F.lit("."))
+            & (F.size(F.split(s, " ")) >= C4_MIN_LINE_WORDS)
+            & (F.instr(s, "javascript") == 0)
+            & (F.instr(s, "{") == 0)
+        )
+
+    aug = F.transform(idx, _aug)
+    kept = F.filter(aug, _keep)
+    return d.select(
+        "doc_id",
+        F.size(aug).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= C4_MIN_KEPT_LINES).cast("int").alias("keep_doc"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
+    )

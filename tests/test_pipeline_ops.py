@@ -1730,3 +1730,53 @@ def test_domain_cap_matches_python(spark):
     for _, src in got:
         sizes[src] += 1
     assert all(v == min(T.DOMAIN_CAP, len(per[s])) for s, v in sizes.items())
+
+
+def test_c4_clean_matches_python(spark):
+    """doc_c4_clean vs a pure-python recompute of the synthesized lines and
+    the C4 keep rules (md5-keyed defects, terminal-period / min-words /
+    javascript / brace gates, md5 of the kept text)."""
+    import hashlib
+
+    from analytics import text as T
+    from analytics.common import load
+
+    W = T.C4_LINE_W
+    got = {r["doc_id"]: r.asDict() for r in T.doc_c4_clean(spark, SF_TEST).collect()}
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for r in docs:
+        if not r["text"]:
+            assert r["doc_id"] not in got
+            continue
+        ws = r["text"].split(" ")
+        lines = []
+        for i in range((len(ws) - 1) // W + 1):
+            base = " ".join(ws[i * W : i * W + W])
+            h = int(hashlib.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()[:4], 16)
+            if h % 7 == 0:
+                base += " javascript required"
+            if h % 11 == 0:
+                base += " {"
+            if h % 5 != 0:
+                base += "."
+            lines.append(base)
+        kept = [
+            s
+            for s in lines
+            if s.endswith(".")
+            and len(s.split(" ")) >= T.C4_MIN_LINE_WORDS
+            and "javascript" not in s
+            and "{" not in s
+        ]
+        g = got[r["doc_id"]]
+        assert g["n_lines"] == len(lines)
+        assert g["n_kept"] == len(kept)
+        assert g["keep_doc"] == int(len(kept) >= T.C4_MIN_KEPT_LINES)
+        assert g["clean_hash"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+        n_checked += 1
+    assert n_checked == len(got) > 0
+    # the defect injection must actually exercise every gate
+    assert any(g["n_kept"] < g["n_lines"] for g in got.values())
+    assert any(g["keep_doc"] == 0 for g in got.values())
+    assert any(g["keep_doc"] == 1 for g in got.values())

@@ -371,3 +371,15 @@ def test_global_order_no_corpus_single_task_window(spark):
     assert "SPARK_PARTITION_ID" in p or "spark_partition_id" in p
     assert "BroadcastHashJoin" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_c4_clean_zero_shuffle_no_python(spark):
+    """C4 line cleaning is a stateless scan: no Exchange, no Python, read
+    schema pruned to (doc_id, text)."""
+    from analytics import text as T
+
+    p = plan(T.doc_c4_clean(spark, SF_TEST))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from analytics.common import load
 
@@ -541,3 +542,61 @@ def link_label_prop(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint()
         )
     return lbl.select("node", F.col("lbl").cast("long").alias("community"))
+
+
+# --- anchor-text aggregation (round 5g) --------------------------------------
+ANCHOR_TOPK = 3
+
+ORACLE["link_anchor_topk"] = f"""
+    WITH e AS (
+      SELECT l_suppkey % {N_NODES} AS dst, p_name
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_partkey % {N_NODES} != l_suppkey % {N_NODES}),
+    t AS (
+      SELECT dst, unnest(string_split(p_name, ' ')) AS word FROM e),
+    c AS (
+      SELECT dst, word, count(*) AS cnt FROM t GROUP BY dst, word),
+    r AS (
+      SELECT dst, word, cnt,
+             CAST(row_number() OVER (PARTITION BY dst
+                                     ORDER BY cnt DESC, word) AS INT) AS rn
+      FROM c)
+    SELECT dst, word, cnt, rn FROM r WHERE rn <= {ANCHOR_TOPK}
+"""
+
+
+@q("link_anchor_topk")
+def link_anchor_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation — the classic web-index signal: for every
+    link target, the most frequent words used in anchors pointing AT it
+    (search engines rank/title pages by in-link anchor text).  Links are
+    the deterministic lineitem graph (the link_pagerank edge synthesis,
+    every lineitem row = one link occurrence); the anchor is the linking
+    part's p_name, joined from the broadcast part dim.
+
+    Scale shape: anchor aggregation at web scale is the google.com pole —
+    billions of in-links onto one hot target.  The defense is
+    aggregate-FIRST: the (dst, word) groupBy partial-aggregates map-side,
+    so the shuffle carries one row per (partition, dst, word) and the
+    post-agg top-k window partitions are vocabulary-bounded (distinct
+    anchor words per target), NOT in-link-bounded — a hot page with 10^9
+    in-links still ranks over at most |vocab| rows.  The dim join is an
+    explicit broadcast; no row-level data ever collapses onto one task."""
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % N_NODES).alias("src"),
+        (F.col("l_suppkey") % N_NODES).alias("dst"),
+        "l_partkey",
+    ).where(F.col("src") != F.col("dst"))
+    part = load(spark, sf, "part").select("p_partkey", "p_name")
+    anchors = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    counts = (
+        anchors.select("dst", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("dst", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANCHOR_TOPK)
+        .select("dst", "word", "cnt", "rn")
+    )

@@ -1780,3 +1780,33 @@ def test_c4_clean_matches_python(spark):
     assert any(g["n_kept"] < g["n_lines"] for g in got.values())
     assert any(g["keep_doc"] == 0 for g in got.values())
     assert any(g["keep_doc"] == 1 for g in got.values())
+
+
+def test_anchor_topk_matches_python(spark):
+    """link_anchor_topk vs a Counter recompute of per-target anchor words."""
+    from collections import Counter, defaultdict
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    li = load(spark, SF_TEST, "lineitem").select("l_partkey", "l_suppkey").collect()
+    names = {
+        r["p_partkey"]: r["p_name"]
+        for r in load(spark, SF_TEST, "part").select("p_partkey", "p_name").collect()
+    }
+    per = defaultdict(Counter)
+    for r in li:
+        src, dst = r["l_partkey"] % G.N_NODES, r["l_suppkey"] % G.N_NODES
+        if src == dst:
+            continue
+        per[dst].update(names[r["l_partkey"]].split(" "))
+    want = set()
+    for dst, cnt in per.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rn, (word, c) in enumerate(ranked[: G.ANCHOR_TOPK], 1):
+            want.add((dst, word, c, rn))
+    got = {
+        (r["dst"], r["word"], r["cnt"], r["rn"])
+        for r in G.link_anchor_topk(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

@@ -383,3 +383,16 @@ def test_c4_clean_zero_shuffle_no_python(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     read = p.split("ReadSchema")[1][:200]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_anchor_topk_broadcast_and_partial_agg(spark):
+    """The part dim joins via BroadcastHashJoin (no shuffle of the edge
+    side for the join) and the (dst, word) count partial-aggregates below
+    its exchange."""
+    from analytics import graph as G
+
+    p = plan(G.link_anchor_topk(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p  # map-side combine below the agg exchange
+    assert "WindowGroupLimit" in p  # top-k pushed into the window operator

@@ -1180,3 +1180,126 @@ def emb_drift_check(spark: SparkSession, sf: str) -> DataFrame:
         "mean_b",
         F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift_micro"),
     )
+
+
+# --- exact covariance via one-pass GEMM (round 5g) ----------------------------
+COV_GRID = 1_000_000  # the kmeans/drift x1e6 integer grid
+
+
+ORACLE["emb_covariance"] = f"""
+    WITH g AS (
+      SELECT list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * {COV_GRID}) AS BIGINT)) AS xi
+      FROM embeddings),
+    n AS (SELECT count(*) AS n FROM g),
+    s AS (
+      SELECT k.k AS k, CAST(sum(xi[k.k]) AS BIGINT) AS sv
+      FROM g, range(1, {DIM} + 1) k(k) GROUP BY k.k),
+    p AS (
+      SELECT i.i AS i, j.j AS j, CAST(sum(xi[i.i] * xi[j.j]) AS BIGINT) AS sxy
+      FROM g, range(1, {DIM} + 1) i(i), range(1, {DIM} + 1) j(j)
+      WHERE j.j >= i.i
+      GROUP BY i.i, j.j)
+    SELECT p.i, p.j, n.n AS n, p.sxy AS sxy_grid,
+           -- + 0.0 collapses IEEE -0.0 to +0.0 (both engines) so the
+           -- driver's string/value hash cannot see a signed-zero split
+           round(CAST(p.sxy AS DOUBLE) / n.n / {COV_GRID * COV_GRID}.0
+                 - (CAST(si.sv AS DOUBLE) / n.n / {COV_GRID}.0)
+                   * (CAST(sj.sv AS DOUBLE) / n.n / {COV_GRID}.0), 4)
+           + 0.0 AS cov
+    FROM p
+    JOIN s si ON si.k = p.i
+    JOIN s sj ON sj.k = p.j
+    CROSS JOIN n
+"""
+
+
+@q("emb_covariance")
+def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact d x d covariance matrix of the embedding corpus — the
+    statistics pass PCA / whitening / drift analysis starts from.  One
+    distributed GEMM: each Arrow batch computes X'^T X' where X' is the
+    integer-grid matrix with a constant GRID column appended, so a single
+    (d+1)^2 partial per batch simultaneously carries sum(xi*xj),
+    GRID*sum(xi) (the constant-column cross terms), and n*GRID^2 (the
+    corner) — cross-moments, means, and count in ONE pass, Chan et al.'s
+    textbook trick.
+
+    Parity device: components land on the x1e6 integer grid (float32 ->
+    double exact, one round), every partial is an exact int64 (bounds:
+    |xi| <= 1e6 so xi*xj <= 1e12/row; 1e5 rows stay < 2^53 for the final
+    double conversion, documented), and the final covariance is one
+    identical double expression on both engines — the summation-order
+    immunity of the kmeans/drift integer-grid family.
+
+    Scale shape: the shuffle carries (d+1)(d+2)/2 rows PER BATCH (model-
+    sized, ~2 k for d=64), never corpus rows; partial aggregation combines
+    map-side; the three final joins run on metadata-sized tables.  At
+    10^10 vectors the plan is scan -> Arrow GEMM -> tiny agg: the optimal
+    distributed moment computation."""
+    import numpy as np
+    import pandas as pd
+
+    d = DIM
+    e = load_spread(spark, sf, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * COV_GRID).cast("long"),
+        ).alias("xi")
+    )
+
+    def gemm(batches):
+        iu = np.triu_indices(d + 1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xi"].values).astype("int64")
+            X = np.hstack(
+                [X, np.full((X.shape[0], 1), COV_GRID, dtype="int64")]
+            )
+            S = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": S[iu],
+                }
+            )
+
+    tot = (
+        e.mapInPandas(gemm, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    n_df = tot.where((F.col("i") == d) & (F.col("j") == d)).select(
+        (F.col("s") / (COV_GRID * COV_GRID)).cast("long").alias("n")
+    )
+    sums = tot.where((F.col("j") == d) & (F.col("i") < d)).select(
+        (F.col("i") + 1).alias("k"),
+        (F.col("s") / COV_GRID).cast("long").alias("sv"),
+    )
+    pairs = tot.where((F.col("i") < d) & (F.col("j") < d)).select(
+        (F.col("i") + 1).alias("i"), (F.col("j") + 1).alias("j"), "s"
+    )
+    si = sums.select(F.col("k").alias("ki"), F.col("sv").alias("svi"))
+    sj = sums.select(F.col("k").alias("kj"), F.col("sv").alias("svj"))
+    return (
+        pairs.join(F.broadcast(si), pairs.i == si.ki)
+        .join(F.broadcast(sj), pairs.j == sj.kj)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.col("s").alias("sxy_grid"),
+            (
+                F.round(
+                    F.col("s").cast("double") / F.col("n") / float(COV_GRID) ** 2
+                    - (F.col("svi").cast("double") / F.col("n") / COV_GRID)
+                    * (F.col("svj").cast("double") / F.col("n") / COV_GRID),
+                    4,
+                )
+                + F.lit(0.0)  # collapse IEEE -0.0 (see oracle comment)
+            ).alias("cov"),
+        )
+    )

@@ -1810,3 +1810,34 @@ def test_anchor_topk_matches_python(spark):
         for r in G.link_anchor_topk(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_emb_covariance_matches_numpy(spark):
+    """emb_covariance vs a numpy recompute on the same integer grid: the
+    int sums must be exactly equal and the rounded covariance must match
+    the identical final formula."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    emb = load(spark, SF_TEST, "embeddings").select("embedding").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype="float64") for r in emb])
+    # python round-half-up on the grid (engine F.round / DuckDB round)
+    Xi = np.floor(np.abs(X) * S.COV_GRID + 0.5).astype("int64") * np.sign(X).astype("int64")
+    n = Xi.shape[0]
+    got = {
+        (r["i"], r["j"]): r.asDict()
+        for r in S.emb_covariance(spark, SF_TEST).collect()
+    }
+    assert len(got) == S.DIM * (S.DIM + 1) // 2
+    G = float(S.COV_GRID)
+    for (i, j), g in got.items():
+        sxy = int((Xi[:, i - 1] * Xi[:, j - 1]).sum())
+        assert g["n"] == n
+        assert g["sxy_grid"] == sxy
+        si, sj = int(Xi[:, i - 1].sum()), int(Xi[:, j - 1].sum())
+        want = round(sxy / n / G**2 - (si / n / G) * (sj / n / G), 4) + 0.0
+        assert abs(g["cov"] - want) < 5e-5, (i, j, g["cov"], want)
+    # diagonal variances are positive (sanity that the grid scaling is right)
+    assert all(got[(k, k)]["cov"] > 0 for k in range(1, S.DIM + 1))

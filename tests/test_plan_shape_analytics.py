@@ -396,3 +396,15 @@ def test_anchor_topk_broadcast_and_partial_agg(spark):
     assert "SortMergeJoin" not in p
     assert "partial_count" in p  # map-side combine below the agg exchange
     assert "WindowGroupLimit" in p  # top-k pushed into the window operator
+
+
+def test_emb_covariance_model_sized_shuffle(spark):
+    """The GEMM partials aggregate map-side and every final join is a
+    broadcast — no corpus-sized exchange above the Arrow pass."""
+    from analytics import similarity as S
+
+    p = plan(S.emb_covariance(spark, SF_TEST))
+    assert "MapInPandas" in p
+    assert "partial_sum" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -1719,3 +1719,42 @@ def j11_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
     )
+
+
+@q(
+    "sc10_orc_source",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderkey <= 5000 AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    """,
+)
+def sc10_orc_source(spark: SparkSession, sf: str) -> DataFrame:
+    """SC10: ORC source round-trip — the other columnar lake format a
+    Spark-native engine reads for free (Hive-era warehouses are full of
+    it).  An orders slice is written to ORC under /tmp, read back, and
+    aggregated behind a predicate, so the oracle (the same aggregate
+    over the parquet original) breaks on any loss, type drift, or
+    mis-pushed filter.  Doubles survive exactly: ORC is binary columnar,
+    no text re-parse.
+
+    Scale shape: Spark's native ORC reader is vectorized, splits by
+    stripe like parquet row-groups, and pushes predicates into stripe /
+    row-group skipping via search arguments — the
+    `o_totalprice > 50000` filter lands in PushedFilters (plan-pinned),
+    so a 100 TB ORC lake scans only matching stripes."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_sc10_{tag}"
+    o = (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    o.write.mode("overwrite").orc(base)
+    r = spark.read.orc(base).where(F.col("o_totalprice") > 50000)
+    return r.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -408,3 +408,14 @@ def test_emb_covariance_model_sized_shuffle(spark):
     assert "partial_sum" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_sc10_orc_scan_pushes_predicate(spark):
+    """The ORC read must push o_totalprice > 50000 into the scan
+    (stripe/row-group skipping at scale) and prune the read schema."""
+    from analytics import relational as R
+
+    df = R.sc10_orc_source(spark, SF_TEST)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "o_totalprice" in p.split("PushedFilters")[1][:200]

@@ -1758,3 +1758,58 @@ def sc10_orc_source(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+COMPACT_TARGET_BYTES = 128 * 1024  # per-file target for the test-scale slice
+
+
+@q(
+    "layout_compact_small_files",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events WHERE event_id <= 20000 GROUP BY event_type
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE/bin-packing maintenance pass
+    every streaming or epoch-append lake needs: a fragmented table (64
+    tiny parquet files, the shape an hourly micro-batch writer leaves
+    behind) is rewritten into ceil(total_bytes / target) right-sized
+    files, and the returned aggregate is computed FROM the compacted
+    output — the oracle over the original slice therefore proves the
+    rewrite is lossless end-to-end (any dropped/duplicated row or type
+    drift breaks the value hash).  File-count/size assertions live in
+    the pytest (not SQL-expressible).
+
+    Scale shape: sizing reads ONLY file metadata (a listing, no data
+    scan — at 100 TB this is the catalog/FS listing every table-service
+    compactor does); the rewrite is one round-robin repartition = one
+    all-to-all shuffle of just the fragmented partitions' rows, which
+    bin-packs evenly regardless of input skew.  Small-file pressure is
+    THE silent killer at 1000 executors: 10^6 tiny files mean 10^6
+    scheduler tasks and 10^6 NameNode/object-store round trips per
+    scan; compaction restores maxPartitionBytes-sized splits."""
+    import glob as _glob
+    import math
+    import os
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_compact_{tag}"
+    e = (
+        load(spark, sf, "events")
+        .where(F.col("event_id") <= 20000)
+        .select("event_id", "event_type", "value")
+    )
+    e.repartition(64).write.mode("overwrite").parquet(f"{base}/frag")
+    frag_bytes = sum(
+        os.path.getsize(p) for p in _glob.glob(f"{base}/frag/*.parquet")
+    )
+    n_out = max(1, math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
+    frag = spark.read.parquet(f"{base}/frag")
+    frag.repartition(n_out).write.mode("overwrite").parquet(f"{base}/compact")
+    c = spark.read.parquet(f"{base}/compact")
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )

@@ -1841,3 +1841,32 @@ def test_emb_covariance_matches_numpy(spark):
         assert abs(g["cov"] - want) < 5e-5, (i, j, g["cov"], want)
     # diagonal variances are positive (sanity that the grid scaling is right)
     assert all(got[(k, k)]["cov"] > 0 for k in range(1, S.DIM + 1))
+
+
+def test_compaction_reduces_files_losslessly(spark):
+    """layout_compact_small_files: 64 fragments in, few right-sized files
+    out, zero rows lost or duplicated."""
+    import glob
+
+    from analytics import relational as R
+    from analytics.common import load
+
+    R.layout_compact_small_files(spark, SF_TEST).collect()
+    tag = SF_TEST.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_compact_{tag}"
+    frag = glob.glob(f"{base}/frag/*.parquet")
+    comp = glob.glob(f"{base}/compact/*.parquet")
+    assert len(frag) == 64
+    assert 1 <= len(comp) <= 8 and len(comp) < len(frag)
+    want = sorted(
+        (r["event_id"], r["value"])
+        for r in load(spark, SF_TEST, "events")
+        .where("event_id <= 20000")
+        .select("event_id", "value")
+        .collect()
+    )
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{base}/compact").select("event_id", "value").collect()
+    )
+    assert got == want

@@ -51,25 +51,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 46 round-5 ops with NO driver row in any round (oracle-backed
-#      local parity only),
-#   2. the 3 queries whose plan or oracle changed this round after their
-#      r04 driver row (w5 oracle epoch-floor fix, kmeans integer-grid
-#      centroids, minhash single signature join-back),
-#   3. the flagship frontier_pop takes the last slot.  The 42 dropped from
-#      the window are the 6 stale rows-only entries (a fresh driver row
-#      would still be a weak rows-only check; their real evidence is
-#      pytest), 19 trivial-plan relational/split/sample/rebalance rows,
-#      doc_repetition_score, doc_decontaminate, corpus_bigram_topk,
-#      dedup_exact, dedup_clusters, dedup_keep_list, canonicalize_urls,
-#      robots_longest_prefix, frontier_merge, st5_session_window,
-#      w1_row_number_topk, a1_hash_agg, j7_asof_join, j4_left_anti_join,
-#      j1_broadcast_join, j2_shuffle_join_agg, and
-#      pipeline_pretrain_corpus (a composition of ops that are themselves
-#      in-window) — all 40 pass the in-repo parity mirror
-#      (tests/test_analytics_parity) on current code and none changed
-#      since their last green driver row (frontier_merge and st5
-#      additionally carry cell-merge / stream==batch pytest suites).
+#   1. the 48 oracle-backed round-5 ops with NO driver row in any round
+#      (local check_parity evidence only),
+#   2. the query whose ORACLE changed this round after its r04 driver row
+#      (w5 epoch-floor fix — the r04 pass was coincidental per ADVICE),
+#   3. the flagship frontier_pop takes the last slot.  Dropped from the
+#      window (all pass tools/check_parity.py on current code today):
+#      the stale rows-only entries (a fresh driver row would still be a
+#      weak rows-only check; their real evidence is pytest) INCLUDING
+#      dedup_minhash_lsh and a11_hll_sketch_rollup — their slots went to
+#      the round-5g oracle-backed ops (doc_c4_clean, link_anchor_topk,
+#      emb_covariance, layout_compact_small_files; sc10_orc_source stays
+#      out-of-window, parity-green + plan-pinned locally); kmeans_train
+#      (green r04 driver row; the integer-grid oracle hardening after it
+#      only REMOVED rounding fragility); the two pipeline compositions
+#      (pipeline_pretrain_corpus / pipeline_multimodal_corpus — their
+#      constituent ops are in-window); 19 trivial-plan relational/split/
+#      sample/rebalance rows; doc_repetition_score, doc_decontaminate,
+#      corpus_bigram_topk, dedup_exact, dedup_clusters, dedup_keep_list,
+#      canonicalize_urls, robots_longest_prefix, frontier_merge,
+#      st5_session_window, w1_row_number_topk, a1_hash_agg, j7_asof_join,
+#      j4_left_anti_join, j1_broadcast_join, j2_shuffle_join_agg
+#      (frontier_merge and st5 additionally carry cell-merge /
+#      stream==batch pytest suites).
 _FRONT = (
     # 1. no driver row yet (first driver run)
     "doc_remove_dup_spans",
@@ -98,10 +102,8 @@ _FRONT = (
     "sc9_csv_json_sources",
     "media_interleaved_pack",
     "j10_star_q5",
-    "a11_hll_sketch_rollup",
     "scd2_order_history",
     "ann_pq_adc",
-    "pipeline_multimodal_corpus",
     "j11_salted_skew_join",
     "doc_html_extract",
     "doc_quality_classifier",
@@ -118,10 +120,12 @@ _FRONT = (
     "dedup_prefix_jaccard",
     "index_phrase_topk",
     "doc_domain_cap",
-    # 2. plan/oracle changed in r05 after their r04 driver row
+    "doc_c4_clean",
+    "link_anchor_topk",
+    "emb_covariance",
+    "layout_compact_small_files",
+    # 2. oracle changed in r05 after its r04 driver row (epoch-floor fix)
     "w5_range_frame",
-    "kmeans_train",
-    "dedup_minhash_lsh",
     # 3. the flagship (last driver row r03)
     "frontier_pop",
 )

@@ -87,6 +87,13 @@ HEADLINE = (
     "dedup_prefix_jaccard",
     "index_phrase_topk",
     "doc_domain_cap",
+    # round-5g: C4 line cleaning, anchor-text top-k, one-pass covariance
+    # GEMM, ORC round-trip, small-file compaction
+    "doc_c4_clean",
+    "link_anchor_topk",
+    "emb_covariance",
+    "sc10_orc_source",
+    "layout_compact_small_files",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -2167,3 +2167,85 @@ def doc_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
         (F.size(kept) >= C4_MIN_KEPT_LINES).cast("int").alias("keep_doc"),
         F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
     )
+
+
+# --- winnowing fingerprints (round 5g) ----------------------------------------
+# Schleimer/Wilkerson/Aiken 2003 (MOSS): hash every k-gram, slide a window of
+# w consecutive hashes, keep each window's minimum — guarantees any shared
+# substring of length >= k + w - 1 shares a fingerprint, with density ~2/(w+1).
+WIN_K = 4  # words per shingle
+WIN_W = 5  # hashes per winnowing window
+
+# order-insensitive 63-bit shingle hash both engines can compute: md5 hex -> int
+_WIN_HASH_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+ORACLE["doc_winnow_fingerprint"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, len(ws) - {WIN_K}),
+               i -> {_WIN_HASH_SQL.format(s=f"array_to_string(list_slice(ws, i + 1, i + {WIN_K}), ' ')")}) AS hs
+      FROM w WHERE len(ws) >= {WIN_K + WIN_W - 1}),
+    f AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(0, len(hs) - {WIN_W}),
+               j -> list_min(list_slice(hs, j + 1, j + {WIN_W}))))) AS fps
+      FROM s)
+    SELECT doc_id,
+           len(fps) AS n_fps,
+           md5(array_to_string(list_transform(fps, v -> CAST(v AS VARCHAR)),
+                               ',')) AS fp_hash
+    FROM f
+"""
+
+
+@q("doc_winnow_fingerprint")
+def doc_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): hash all word k-grams, slide a w-hash window, keep
+    each window's minimum.  The selected set is position-independent and
+    guarantees any shared run of >= k+w-1 words between two documents
+    shares at least one fingerprint — the local-minimum sampling that
+    makes substring-level copy detection index-able (store (fingerprint,
+    doc) postings, join on equality).  Returns the fingerprint-set size
+    and an md5 over the sorted set so the driver value-checks the full
+    selection.
+
+    Parity device: the shingle hash is the first 8 md5 hex digits as a
+    BIGINT (both engines, the doc_quality_classifier bucket idiom), so
+    minima are taken over identical integers.
+
+    Scale shape: stateless per-row array HOFs — zero shuffle, zero
+    Python, ~2n/(w+1) fingerprints per n-word doc.  The downstream
+    equality join this feeds is the indexed substring-dedup alternative
+    to dup_ngram_spans' exact mining."""
+    d = load(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+
+    def _hash8(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    hs = F.transform(
+        F.sequence(F.lit(0), n - WIN_K),
+        lambda i: _hash8(F.array_join(F.slice(words, i + F.lit(1), WIN_K), " ")),
+    )
+    d = d.where(n >= WIN_K + WIN_W - 1).select("doc_id", hs.alias("hs"))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("hs")) - WIN_W),
+                lambda j: F.array_min(F.slice(F.col("hs"), j + F.lit(1), WIN_W)),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(F.transform(fps, lambda v: v.cast("string")), ",")
+        ).alias("fp_hash"),
+    )

@@ -1870,3 +1870,48 @@ def test_compaction_reduces_files_losslessly(spark):
         for r in spark.read.parquet(f"{base}/compact").select("event_id", "value").collect()
     )
     assert got == want
+
+
+def test_winnow_fingerprint_matches_python(spark):
+    """doc_winnow_fingerprint vs a pure-python winnowing recompute, plus the
+    Schleimer guarantee on a constructed pair sharing a k+w-1 word run."""
+    import hashlib
+
+    from analytics import text as T
+    from analytics.common import load
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def winnow(text):
+        ws = text.split(" ")
+        if len(ws) < T.WIN_K + T.WIN_W - 1:
+            return None
+        hs = [
+            h8(" ".join(ws[i : i + T.WIN_K]))
+            for i in range(len(ws) - T.WIN_K + 1)
+        ]
+        return sorted(
+            {min(hs[j : j + T.WIN_W]) for j in range(len(hs) - T.WIN_W + 1)}
+        )
+
+    got = {
+        r["doc_id"]: (r["n_fps"], r["fp_hash"])
+        for r in T.doc_winnow_fingerprint(spark, SF_TEST).collect()
+    }
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for r in docs:
+        fps = winnow(r["text"])
+        if fps is None:
+            assert r["doc_id"] not in got
+            continue
+        want_hash = hashlib.md5(",".join(str(v) for v in fps).encode()).hexdigest()
+        assert got[r["doc_id"]] == (len(fps), want_hash)
+        n_checked += 1
+    assert n_checked == len(got) > 0
+    # guarantee: two texts sharing a k+w-1 word run share >= 1 fingerprint
+    run = " ".join(f"tok{i}" for i in range(T.WIN_K + T.WIN_W - 1))
+    a = winnow("alpha beta gamma delta " + run + " one two three four")
+    b = winnow("zz yy xx " + run + " aa bb cc dd ee")
+    assert set(a) & set(b)

@@ -419,3 +419,11 @@ def test_sc10_orc_scan_pushes_predicate(spark):
     p = plan(df)
     assert "PushedFilters" in p
     assert "o_totalprice" in p.split("PushedFilters")[1][:200]
+
+
+def test_winnow_fingerprint_zero_shuffle_no_python(spark):
+    from analytics import text as T
+
+    p = plan(T.doc_winnow_fingerprint(spark, SF_TEST))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -16,6 +16,13 @@ gets them with identical semantics:
        streaming twin of the politeness budget counter.
   ST7  stream-static broadcast enrichment join.
   ST8  stream-stream interval join (watermarked two-sided state).
+  ST9  transformWithStateInPandas (Spark 4 arbitrary-state v2): the
+       ST6b counter re-expressed on the modern StatefulProcessor API
+       with typed MapState.  ENVIRONMENT-GATED: the API's Python driver
+       worker needs google.protobuf, absent from this container (same
+       class of gate as the Iceberg jar, engine/catalog.py) — code is
+       complete, the pytest skips with the reason when protobuf is
+       missing and runs the stream==batch check when present.
 
 Each streaming query is checked against its *batch* twin in
 tests/test_streaming.py: same input files, same result.
@@ -158,6 +165,88 @@ def host_budget_state(rows: DataFrame, host_col: str = "host") -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can actually run here: its
+    Python driver worker imports google.protobuf at stream start (the
+    TWS state-server protocol is protobuf-framed).  Probed by import, the
+    same way engine/catalog.py gates the Iceberg MERGE on its jar."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HOST_TYPE_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("event_type", StringType()),
+        StructField("events_seen", LongType()),
+    ]
+)
+
+
+class _HostTypeCounts:
+    """ST9 StatefulProcessor body: per-host MapState[event_type -> count].
+
+    Defined as a plain class and grafted onto StatefulProcessor lazily in
+    host_type_counts_tws — subclassing at import time is safe, but keeping
+    the processor construction inside the gated function keeps this module
+    importable and behaviour-identical whether or not protobuf exists.
+
+    vs ST6b (host_budget_state): same politeness-bookkeeping semantics,
+    but on the v2 API — typed per-key MapState replaces the single packed
+    tuple, so a host's per-type counters update independently (at web
+    scale: no read-modify-write of one fat blob per host, and RocksDB
+    state backend + changelog checkpointing come for free).  Emission is
+    order-independent (running totals, not admitted rows), so the final
+    update per (host, event_type) equals the batch groupBy count however
+    micro-batches split.
+    """
+
+    def init(self, handle: Any) -> None:
+        self.counts = handle.getMapState("counts", "event_type STRING", "n LONG")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for t, n in pdf["event_type"].value_counts().items():
+                batch[t] = batch.get(t, 0) + int(n)
+        totals = {}
+        for t, n in batch.items():
+            prev = self.counts.getValue((t,))[0] if self.counts.containsKey((t,)) else 0
+            totals[t] = prev + n
+            self.counts.updateValue((t,), (totals[t],))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]] * len(totals),
+                "event_type": list(totals),
+                "events_seen": list(totals.values()),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def host_type_counts_tws(rows: DataFrame, host_col: str = "host") -> DataFrame:
+    """ST9: the modern (Spark 4, SPARK-49564 "arbitrary state v2")
+    stateful operator — transformWithStateInPandas with typed MapState.
+    Call tws_available() first; see module docstring for the gate."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    proc_cls = type("HostTypeCounts", (_HostTypeCounts, StatefulProcessor), {})
+    return rows.groupBy(host_col).transformWithStateInPandas(
+        proc_cls(),
+        outputStructType=HOST_TYPE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -130,3 +130,47 @@ def test_st8_stream_stream_join_equals_batch(spark, events_batch):
     )
     assert _rows(out) == _rows(want)
     assert out.count() > 0  # the fixture must actually produce matches
+
+
+def test_st9_transform_with_state_gate_and_parity(spark, events_batch):
+    """ST9: transformWithStateInPandas MapState counts == batch groupBy.
+
+    The v2 stateful API's Python driver worker imports google.protobuf at
+    stream start; this container ships pyspark without protobuf, so the
+    test SKIPS with the gate documented (same policy as the Iceberg jar
+    gate in test_units.py).  On an environment with protobuf the full
+    stream==batch check runs.  The plan construction itself (processor
+    class, state schema, groupBy clause) is exercised unconditionally."""
+    hosted = st.stream_events(spark, SF_TEST).select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(7)).cast("string")).alias("host"),
+        "event_type",
+    )
+    out_stream = st.host_type_counts_tws(hosted)  # plan builds regardless
+    assert [f.name for f in out_stream.schema.fields] == [
+        "host",
+        "event_type",
+        "events_seen",
+    ]
+    if not st.tws_available():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (absent in "
+            "this container) — environment gate, see engine/streaming.py ST9"
+        )
+    out = st.run_available_now(out_stream, "t_tws", "update")
+    final = {
+        (r["host"], r["event_type"]): r["events_seen"]
+        for r in out.orderBy("events_seen").collect()  # last update wins
+    }
+    expect = {
+        (r["host"], r["event_type"]): r["n"]
+        for r in events_batch.select(
+            F.concat(F.lit("h"), F.pmod("user_id", F.lit(7)).cast("string")).alias(
+                "host"
+            ),
+            "event_type",
+        )
+        .groupBy("host", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expect

@@ -600,3 +600,120 @@ def link_anchor_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= ANCHOR_TOPK)
         .select("dst", "word", "cnt", "rn")
     )
+
+
+# --- BFS crawl depth -------------------------------------------------------
+# Hop distance from the seed set — THE crawler scheduling signal: depth from
+# the seed list bounds politeness budgets, dictates recrawl tiers, and is the
+# standard "crawl frontier ring" statistic.  Seeds = every 40th node (10 of
+# 400); K static hops so the oracle can unroll.
+#
+# Edge synthesis differs from the pagerank graph on purpose: the pagerank
+# edges' dst range is supplier-bounded (~100 values), so every reachable
+# node is 1 hop from the seed ring and BFS would be degenerate.  Here the
+# graph is a stepped lattice — node h links forward to h+1 .. h+5 (step =
+# 1 + l_suppkey % 5) — so depth genuinely spreads over 0..K and the ring
+# past 5*K hops stays unreached, exercising the NULL (next-ring) branch.
+BFS_SEED_MOD = 40
+BFS_HOPS = 4
+
+_BFS_BASE_SQL = f"""
+  edges AS (SELECT DISTINCT l_partkey % {N_NODES} AS src,
+                            (l_partkey + 1 + l_suppkey % 5) % {N_NODES} AS dst
+            FROM lineitem
+            WHERE l_partkey % {N_NODES}
+                  != (l_partkey + 1 + l_suppkey % 5) % {N_NODES}),
+  nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+  d0 AS (SELECT node,
+                CASE WHEN node % {BFS_SEED_MOD} = 0 THEN 0 END AS depth
+         FROM nodes)
+"""
+
+
+def _bfs_iter_sql(i: int) -> str:
+    # relax: depth_i(n) = min(depth_{i-1}(n), 1 + min over in-edges of
+    # depth_{i-1}(src)).  coalesce(least(a,b),a,b) instead of bare least so
+    # the NULL (unreached) semantics are explicit and engine-independent.
+    return f"""
+  c{i} AS (SELECT e.dst AS node, min(p.depth) + 1 AS cand
+           FROM edges e JOIN d{i - 1} p ON p.node = e.src
+           WHERE p.depth IS NOT NULL
+           GROUP BY e.dst),
+  d{i} AS (SELECT n.node,
+                  coalesce(least(n.depth, c.cand), n.depth, c.cand) AS depth
+           FROM d{i - 1} n LEFT JOIN c{i} c ON c.node = n.node)
+"""
+
+
+@q(
+    "link_bfs_depth",
+    "WITH "
+    + ",".join([_BFS_BASE_SQL] + [_bfs_iter_sql(i) for i in range(1, BFS_HOPS + 1)])
+    + f"""
+    SELECT node, CAST(depth AS INT) AS depth
+    FROM d{BFS_HOPS} WHERE depth IS NOT NULL
+    """,
+)
+def link_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop distance from the seed set over the deterministic lineitem
+    link graph: {BFS_HOPS} relaxation rounds, nodes still unreached after
+    round K are omitted (they are depth > K, the next crawl ring).
+
+    Scale shape: each round is ONE co-partitioned join (frontier onto
+    edges by src) + ONE min-aggregation on dst — exactly the frontier-
+    expansion shape of the crawl engine's epoch loop (engine/crawl.py),
+    and of Pregel BFS, without any vertex-program framework.  Partial
+    aggregation combines map-side, so the shuffle carries one candidate
+    row per (partition, dst), not per traversed edge; localCheckpoint per
+    round keeps the plan O(1) like link_pagerank.  Depths are exact
+    integers — no float parity surface at all.  At web scale the K-round
+    unroll IS the production pattern (crawl rings are shallow: the web's
+    seed-to-page distance is small); an open-ended BFS would loop until
+    an empty-frontier count, same per-round plan."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (
+                (F.col("l_partkey") + 1 + F.col("l_suppkey") % 5) % N_NODES
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.withColumn(
+        "depth",
+        F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0)).cast("int"),
+    )
+    for _ in range(BFS_HOPS):
+        cand = (
+            edges.join(
+                dist.where(F.col("depth").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.min("depth") + 1).alias("cand"))
+        )
+        dist = (
+            dist.join(cand, dist.node == cand.dst, "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.least("depth", "cand"), F.col("depth"), F.col("cand")
+                ).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    return dist.where(F.col("depth").isNotNull()).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )

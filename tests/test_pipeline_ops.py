@@ -1915,3 +1915,49 @@ def test_winnow_fingerprint_matches_python(spark):
     a = winnow("alpha beta gamma delta " + run + " one two three four")
     b = winnow("zz yy xx " + run + " aa bb cc dd ee")
     assert set(a) & set(b)
+
+
+def test_link_bfs_depth_matches_python_bfs(spark):
+    """The unrolled BFS_HOPS relaxation equals a plain python BFS from the
+    seed set truncated at BFS_HOPS, AND the fixture genuinely spreads the
+    depths (at least 3 distinct non-zero depths) so the test cannot pass
+    on a degenerate one-hop graph."""
+    from collections import deque
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (
+                (F.col("l_partkey") + 1 + F.col("l_suppkey") % 5) % G.N_NODES
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.update((r["src"], r["dst"]))
+    want = {n: 0 for n in nodes if n % G.BFS_SEED_MOD == 0}
+    frontier = deque(want)
+    while frontier:
+        u = frontier.popleft()
+        if want[u] == G.BFS_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                frontier.append(v)
+
+    got = {
+        r["node"]: r["depth"]
+        for r in G.link_bfs_depth(spark, SF_TEST).collect()
+    }
+    assert got == want
+    assert len({d for d in got.values() if d > 0}) >= 3

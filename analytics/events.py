@@ -317,3 +317,93 @@ def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / F.col("n0"), 4).alias("retention"),
     )
+
+
+@q(
+    "events_ab_ttest",
+    """
+    WITH b AS (
+      SELECT event_type, user_id % 2 AS v,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    m AS (SELECT event_type, v, count(*) AS n,
+                 CAST(sum(vc) AS DOUBLE) AS s,
+                 CAST(sum(vc * vc) AS DOUBLE) AS q
+          FROM b GROUP BY event_type, v),
+    w AS (
+      SELECT a.event_type AS event_type,
+             a.n AS n_a, c.n AS n_b,
+             a.s / a.n AS mean_a, c.s / c.n AS mean_b,
+             (a.q - a.s * a.s / a.n) / (a.n - 1) AS var_a,
+             (c.q - c.s * c.s / c.n) / (c.n - 1) AS var_b
+      FROM m a JOIN m c ON a.event_type = c.event_type
+      WHERE a.v = 0 AND c.v = 1)
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4)
+             AS t_stat,
+           CAST(abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+                > 1.96 AS INT) AS significant
+    FROM w
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's two-sample t-test per event_type — the experiment-readout
+    query every product-analytics deployment runs daily.  Variant = the
+    deterministic hash split user_id % 2 (A=0, B=1); metric = value on
+    the x100 integer grid.
+
+    Parity device (the events_zscore / emb_drift family): per-variant
+    moments n, s=Σvc, q=Σvc² are EXACT integer sums (every quantity is
+    < 2^53, so the DOUBLE cast is lossless and summation order cannot
+    change a bit), and the only float arithmetic is one fixed expression
+    tree — mean = s/n, var = (q - s·s/n)/(n-1), t = Δmean/√(var_a/n_a +
+    var_b/n_b) — written identically in both engines, so IEEE-754 makes
+    the doubles bit-equal before the final round(·,4).  The significance
+    flag compares the UNROUNDED t against 1.96 in both engines.
+
+    Scale shape: one hash agg with map-side partials reduces the raw
+    stream to a (event_type × 2)-row moments table; the A/B self-join is
+    over that tiny table, never the stream.  At web scale this is the
+    same plan — experiment readout cost is one pass + O(cells)."""
+    b = load(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("v"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    m = b.groupBy("event_type", "v").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").cast("double").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("double").alias("q"),
+    )
+    a = m.where(F.col("v") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    c = m.where(F.col("v") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    j = a.join(c, "event_type")
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        (F.abs(t) > 1.96).cast("int").alias("significant"),
+    )

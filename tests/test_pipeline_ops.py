@@ -1961,3 +1961,46 @@ def test_link_bfs_depth_matches_python_bfs(spark):
     }
     assert got == want
     assert len({d for d in got.values() if d > 0}) >= 3
+
+
+def test_events_ab_ttest_matches_python_welch(spark):
+    """Welch t per event_type == a python recompute on exact integer
+    moments (same IEEE expression tree), and the fixture exercises both
+    n_a != n_b and at least one non-trivial |t|."""
+    import math
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    mom: dict[tuple, list] = {}
+    for r in rows:
+        key = (r["event_type"], r["user_id"] % 2)
+        n_s_q = mom.setdefault(key, [0, 0, 0])
+        vc = int(round(r["value"] * 100))
+        n_s_q[0] += 1
+        n_s_q[1] += vc
+        n_s_q[2] += vc * vc
+    got = {
+        r["event_type"]: r for r in E.QUERIES["events_ab_ttest"](spark, SF_TEST).collect()
+    }
+    types = {t for t, _ in mom}
+    assert set(got) == types
+    for et in types:
+        n_a, s_a, q_a = mom[(et, 0)]
+        n_b, s_b, q_b = mom[(et, 1)]
+        mean_a, mean_b = s_a / n_a, s_b / n_b
+        var_a = (q_a - s_a * s_a / n_a) / (n_a - 1)
+        var_b = (q_b - s_b * s_b / n_b) / (n_b - 1)
+        t = (mean_a - mean_b) / math.sqrt(var_a / n_a + var_b / n_b)
+        r = got[et]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        assert abs(r["mean_a"] - mean_a) < 5e-5 and abs(r["mean_b"] - mean_b) < 5e-5
+        assert abs(r["t_stat"] - t) < 5e-5
+        assert r["significant"] == int(abs(t) > 1.96)
+    assert any(abs(got[et]["t_stat"]) > 0.1 for et in types)
+    assert any(got[et]["n_a"] != got[et]["n_b"] for et in types)

@@ -126,6 +126,7 @@ _FRONT = (
     "layout_compact_small_files",
     "link_bfs_depth",
     "events_ab_ttest",
+    "emb_pca_power",
     # 2. oracle changed in r05 after its r04 driver row (epoch-floor fix)
     "w5_range_frame",
     # 3. the flagship (last driver row r03)

@@ -1186,11 +1186,12 @@ def emb_drift_check(spark: SparkSession, sf: str) -> DataFrame:
 COV_GRID = 1_000_000  # the kmeans/drift x1e6 integer grid
 
 
-ORACLE["emb_covariance"] = f"""
-    WITH g AS (
-      SELECT list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * {COV_GRID}) AS BIGINT)) AS xi
-      FROM embeddings),
+def _cov_sql(g_sql: str) -> str:
+    """The exact-covariance oracle parameterized over the integer-grid
+    row source (g must yield one BIGINT-list column xi of length DIM) —
+    shared by emb_covariance (raw grid) and emb_pca_power (spiked grid)."""
+    return f"""
+    WITH g AS ({g_sql}),
     n AS (SELECT count(*) AS n FROM g),
     s AS (
       SELECT k.k AS k, CAST(sum(xi[k.k]) AS BIGINT) AS sv
@@ -1212,6 +1213,14 @@ ORACLE["emb_covariance"] = f"""
     JOIN s sj ON sj.k = p.j
     CROSS JOIN n
 """
+
+
+_COV_G_RAW = f"""
+      SELECT list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * {COV_GRID}) AS BIGINT)) AS xi
+      FROM embeddings"""
+
+ORACLE["emb_covariance"] = _cov_sql(_COV_G_RAW)
 
 
 @q("emb_covariance")
@@ -1237,16 +1246,23 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     map-side; the three final joins run on metadata-sized tables.  At
     10^10 vectors the plan is scan -> Arrow GEMM -> tiny agg: the optimal
     distributed moment computation."""
-    import numpy as np
-    import pandas as pd
-
-    d = DIM
     e = load_spread(spark, sf, "embeddings").select(
         F.transform(
             "embedding",
             lambda v: F.round(v.cast("double") * COV_GRID).cast("long"),
         ).alias("xi")
     )
+    return _cov_frame(e)
+
+
+def _cov_frame(e: DataFrame) -> DataFrame:
+    """Spark twin of _cov_sql: the emb_covariance GEMM over any prepared
+    integer-grid frame (one BIGINT-array column xi of length DIM) —
+    shared with emb_pca_power's spiked grid."""
+    import numpy as np
+    import pandas as pd
+
+    d = DIM
 
     def gemm(batches):
         iu = np.triu_indices(d + 1)
@@ -1303,3 +1319,140 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# --- PCA top component via power iteration ---------------------------------
+# The consumer half of emb_covariance: the dominant principal direction,
+# computed with PCA_ROUNDS unrolled power iterations entirely on integer
+# grids so the iterate is bit-identical across engines (the kmeans / HITS
+# device applied to linear algebra).
+#
+# The fixture embeddings are zero-mean isotropic (covariance eigengap
+# ratio ~0.93 — a power method would need ~30 rounds), so the op plants a
+# deterministic rank-1 spike before the moment pass — the md5-synthesized
+# -defect device of vocab_spell_correct / doc_c4_clean applied to linear
+# algebra: x' = x + a*w with a = ((vec_id % 7) - 3) * 0.5 and
+# w_k = -1 if k % 3 == 0 else +1.  The spiked covariance has eigengap
+# ratio ~4e-4 on the fixture, so PCA_ROUNDS=4 CONVERGES (the pytest pins
+# recovery of the planted direction at |cos| > 0.999, the
+# link_components convergence-proof policy), and ground truth is known
+# by construction.
+PCA_ROUNDS = 4
+PCA_GRID = 1_000_000
+
+_PCA_G_SPIKED = f"""
+      SELECT list_transform(embedding,
+               (v, k) -> CAST(round((CAST(v AS DOUBLE)
+                                     + ((vec_id % 7) - 3) * 0.5
+                                       * (CASE WHEN k % 3 = 0
+                                               THEN -1 ELSE 1 END))
+                                    * {COV_GRID}) AS BIGINT)) AS xi
+      FROM embeddings"""
+
+ORACLE["emb_pca_power"] = (
+    f"""
+    WITH cov AS ({_cov_sql(_PCA_G_SPIKED)}),
+    full_c AS (
+      SELECT i, j, cov FROM cov
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cov WHERE j > i),
+    mx AS (SELECT max(abs(cov)) AS m FROM full_c),
+    c AS (SELECT i, j,
+                 CAST(round(cov / m * {PCA_GRID}) AS BIGINT) AS c
+          FROM full_c CROSS JOIN mx),
+    v0 AS (SELECT k.k AS k, CAST({PCA_GRID} AS BIGINT) AS v
+           FROM range(1, {DIM} + 1) k(k))
+"""
+    + ","
+    + ",".join(
+        f"""
+  u{r} AS (SELECT c.i AS k, sum(c.c * v.v) AS u
+           FROM c JOIN v{r - 1} v ON v.k = c.j GROUP BY c.i),
+  m{r} AS (SELECT max(abs(u)) AS m FROM u{r}),
+  v{r} AS (SELECT k, CAST(round(CAST(u AS DOUBLE) / m * {PCA_GRID}) AS BIGINT)
+                  AS v
+           FROM u{r} CROSS JOIN m{r})
+"""
+        for r in range(1, PCA_ROUNDS + 1)
+    )
+    + f"""
+    SELECT k, v AS comp FROM v{PCA_ROUNDS}
+"""
+)
+
+
+@q("emb_pca_power")
+def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal direction of the (spike-planted) embedding
+    corpus: PCA_ROUNDS power iterations v <- C v on the exact covariance
+    matrix, the consumer half of emb_covariance (PCA projection /
+    whitening both start from this vector).  The deterministic rank-1
+    spike (see the module comment above _PCA_G_SPIKED) gives the fixture
+    a real dominant direction, so the fixed trip count provably CONVERGES
+    and the pytest checks recovery of the planted ground truth.
+
+    Parity device (kmeans/HITS applied to linear algebra): the covariance
+    enters on emb_covariance's hash-matched rounded-grid form; it is
+    rescaled once to the x1e6 integer grid (elementwise double ops on
+    bit-equal inputs), and every iteration is then [exact int64 matvec
+    (|c|,|v| <= 1e6 so each product <= 1e12, the d=64 row sum <= 6.4e13
+    — exact) -> elementwise renormalize by max|u| back onto the grid].
+    No sum of doubles ever occurs, so summation order cannot shift a bit;
+    the output is pure integers.  Renormalizing by max|.| instead of the
+    L2 norm keeps the iterate rational (no sqrt) — scale is irrelevant to
+    the power method's fixed direction.
+
+    Scale shape: C is model-sized (d^2 rows) — the iteration runs on
+    broadcast-trivial tables; the ONLY corpus-sized work is the one
+    emb_covariance GEMM pass that produced C.  At 10^10 vectors this is
+    exactly how you'd do it: one distributed moment pass, then O(d^2)
+    iterations anywhere.  The scalar max|u| rides a crossJoin(broadcast)
+    like emb_covariance's n — never a collect."""
+    e = load_spread(spark, sf, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda v, i: F.round(
+                (
+                    v.cast("double")
+                    + (F.col("vec_id") % 7 - 3)
+                    * 0.5
+                    * F.when((i + 1) % 3 == 0, -1.0).otherwise(1.0)
+                )
+                * COV_GRID
+            ).cast("long"),
+        ).alias("xi")
+    )
+    cov = _cov_frame(e).select("i", "j", "cov")
+    full_c = cov.unionAll(
+        cov.where(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    mx = full_c.agg(F.max(F.abs("cov")).alias("m"))
+    c = (
+        full_c.crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("cov") / F.col("m") * PCA_GRID).cast("long").alias("c"),
+        )
+        .localCheckpoint()  # one GEMM pass feeds every round
+    )
+    v = spark.range(1, DIM + 1).select(
+        F.col("id").alias("k"), F.lit(PCA_GRID).cast("long").alias("v")
+    )
+    for _ in range(PCA_ROUNDS):
+        u = (
+            c.join(v, c.j == v.k)
+            .groupBy(c.i)
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+            .select(F.col("i").alias("k"), "u")
+        )
+        m = u.agg(F.max(F.abs("u")).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "k",
+            F.round(F.col("u").cast("double") / F.col("m") * PCA_GRID)
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select("k", F.col("v").alias("comp"))

@@ -2004,3 +2004,50 @@ def test_events_ab_ttest_matches_python_welch(spark):
         assert r["significant"] == int(abs(t) > 1.96)
     assert any(abs(got[et]["t_stat"]) > 0.1 for et in types)
     assert any(got[et]["n_a"] != got[et]["n_b"] for et in types)
+
+
+def test_emb_pca_power_recovers_planted_spike(spark):
+    """emb_pca_power == a numpy recompute of the identical integer-grid
+    pipeline (spike -> exact covariance -> PCA_ROUNDS power rounds), and
+    the iterate has CONVERGED: |cos| > 0.999 against the PLANTED rank-1
+    direction — ground truth by construction, the link_components
+    convergence-proof policy."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    G = S.COV_GRID
+    w = np.array([(-1 if k % 3 == 0 else 1) for k in range(1, S.DIM + 1)], float)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xi = np.round((X + ((ids % 7 - 3) * 0.5)[:, None] * w[None, :]) * G).astype(
+        np.int64
+    )
+    n = len(Xi)
+    cov = (
+        np.round(
+            (Xi.T @ Xi) / n / G**2
+            - np.outer(Xi.sum(0) / n / G, Xi.sum(0) / n / G),
+            4,
+        )
+        + 0.0
+    )
+    c = np.round(cov / np.abs(cov).max() * S.PCA_GRID).astype(np.int64)
+    v = np.full(S.DIM, S.PCA_GRID, dtype=np.int64)
+    for _ in range(S.PCA_ROUNDS):
+        u = c @ v
+        v = np.round(u / np.abs(u).max() * S.PCA_GRID).astype(np.int64)
+
+    got = {
+        r["k"]: r["comp"]
+        for r in S.QUERIES["emb_pca_power"](spark, SF_TEST).collect()
+    }
+    assert got == {k + 1: int(v[k]) for k in range(S.DIM)}
+    vf = v.astype(float)
+    assert abs(vf @ w / np.linalg.norm(vf) / np.linalg.norm(w)) > 0.999

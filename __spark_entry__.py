@@ -51,12 +51,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run-order: the driver records only the first 50 registered queries per
 # round, so each round front-registers the entries with the WEAKEST driver
 # evidence.  r05 priority ladder:
-#   1. the 48 oracle-backed round-5 ops with NO driver row in any round
-#      (local check_parity evidence only),
-#   2. the query whose ORACLE changed this round after its r04 driver row
-#      (w5 epoch-floor fix — the r04 pass was coincidental per ADVICE),
-#   3. the flagship frontier_pop takes the last slot.  Dropped from the
-#      window (all pass tools/check_parity.py on current code today):
+#   0. the query whose ORACLE changed this round after its r04 driver row
+#      (w5 epoch-floor fix — the r04 pass was coincidental per ADVICE)
+#      leads the window,
+#   1. the 49 oracle-backed round-5 ops with NO driver row in any round
+#      (local check_parity evidence only).  Three no-row candidates were
+#      cut for slots, chosen for the most trivial plans + strongest local
+#      evidence: a10_unpivot (stack projection), sc9_csv_json_sources
+#      (round-trip identity), and the flagship frontier_pop (r03 driver
+#      row + crawl-parity pytest + entry() smoke-run every round).
+#      Also dropped from the window
+#      (all pass tools/check_parity.py on current code today):
 #      the stale rows-only entries (a fresh driver row would still be a
 #      weak rows-only check; their real evidence is pytest) INCLUDING
 #      dedup_minhash_lsh and a11_hll_sketch_rollup — their slots went to
@@ -75,6 +80,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      (frontier_merge and st5 additionally carry cell-merge /
 #      stream==batch pytest suites).
 _FRONT = (
+    # 0. r04 driver row INVALIDATED by the r05 epoch-floor oracle fix —
+    #    must re-evidence, so it leads the window
+    "w5_range_frame",
     # 1. no driver row yet (first driver run)
     "doc_remove_dup_spans",
     "bpe_train",
@@ -96,10 +104,8 @@ _FRONT = (
     "index_postings",
     "layout_zorder",
     "events_gapfill",
-    "a10_unpivot",
     "index_bm25_topk",
     "emb_cluster_sample",
-    "sc9_csv_json_sources",
     "media_interleaved_pack",
     "j10_star_q5",
     "scd2_order_history",
@@ -127,10 +133,6 @@ _FRONT = (
     "link_bfs_depth",
     "events_ab_ttest",
     "emb_pca_power",
-    # 2. oracle changed in r05 after its r04 driver row (epoch-floor fix)
-    "w5_range_frame",
-    # 3. the flagship (last driver row r03)
-    "frontier_pop",
 )
 
 

@@ -1436,6 +1436,12 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             "j",
             F.round(F.col("cov") / F.col("m") * PCA_GRID).cast("long").alias("c"),
         )
+        # model-sized (d^2 rows): collapse to ONE partition before the
+        # iteration so each matvec round is a single local task instead of
+        # a 64-partition shuffle of 4096 rows (the PQ-codebook device —
+        # at any corpus scale C stays d^2, so this never un-distributes
+        # real work; the corpus-sized GEMM above keeps full parallelism)
+        .coalesce(1)
         .localCheckpoint()  # one GEMM pass feeds every round
     )
     v = spark.range(1, DIM + 1).select(

@@ -94,6 +94,10 @@ HEADLINE = (
     "emb_covariance",
     "sc10_orc_source",
     "layout_compact_small_files",
+    # round-5h: seed-ring BFS depth, Welch A/B readout, planted-spike PCA
+    "link_bfs_depth",
+    "events_ab_ttest",
+    "emb_pca_power",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -1459,6 +1459,25 @@ def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     run against the materialized index); doc lengths are one hash agg;
     df and the 1-row stats are broadcast-sized; the global top-k is
     TakeOrdered (no full sort)."""
+    tf, df, dl, stats = _bm25_parts(spark, sf)
+    s = _bm25_exact(tf, df, dl, stats)
+    wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        s.select("doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= BM25_TOPK)
+    )
+
+
+def _bm25_idf():
+    return F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+
+def _bm25_parts(spark: SparkSession, sf: str):
+    """Shared BM25 inputs (index_bm25_topk + index_wand_topk): exact
+    integer tf / df / dl and the 1-row n_docs/avgdl stats frame."""
     d = load(spark, sf, "documents")
     w = d.select(
         "doc_id",
@@ -1475,19 +1494,97 @@ def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+    return tf, df, dl, stats
+
+
+def _bm25_exact(tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """Exact per-doc BM25 score over a (possibly pruned) tf frame — the
+    identical fixed-shape arithmetic tree in both consumers, so WAND's
+    surviving scores are bit-equal to the exhaustive pass's."""
+    term_score = _bm25_idf() * F.col("tf") * (BM25_K1 + 1.0) / (
         F.col("tf")
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    s = (
+    return (
         tf.join(F.broadcast(df), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
+    )
+
+
+@q("index_wand_topk")
+def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """WAND-style pruned BM25 retrieval (Broder et al., CIKM'03) — the
+    same top-10 as index_bm25_topk, computed WITHOUT exhaustively
+    scoring every matching document.  The distributed adaptation of the
+    max-score/WAND idea, in the dedup_prefix_jaccard "lossless pruning"
+    family:
+
+      phase 1 (threshold): score only the CONJUNCTIVE candidates (docs
+        containing ALL query terms — a tiny, high-scoring subset; 14-158
+        docs on the fixtures vs 458-4611 matching any term).  The k-th
+        best conjunctive score is a lower bound θ on the true k-th best
+        (a subset's k-th best can only be lower).
+      phase 2 (prune): each term's score is bounded by its saturation
+        limit ub(t) = idf(t)·(k1+1) (tf→∞, shortest doc), so a doc's
+        score is bounded by Σ ub over the terms it CONTAINS.  Docs with
+        Σ ub < θ cannot reach the top k and are dropped before the
+        expensive exact scoring (dl join + stats).
+      phase 3: exact-score the survivors with the IDENTICAL arithmetic
+        tree (_bm25_exact) and rank.
+
+    LOSSLESS by the θ ≤ true-kth argument: any true top-k doc has exact
+    score ≥ true kth ≥ θ and Σ ub ≥ exact score, so it always survives;
+    if the conjunctive set has < k docs θ falls back to -∞ (no pruning).
+    tests/test_pipeline_ops.py pins result == index_bm25_topk AND that
+    the prune genuinely discards documents on the fixture.
+
+    Scale shape: this is the point at web scale — the exhaustive pass
+    touches every posting of every query term (10^8 docs for a common
+    term); WAND's phase 1 is an |Q|-way posting intersection (the rarest
+    term bounds it) and phase 2 is one broadcast of |Q| ubs + a 1-row θ,
+    so the heavy dl-join/score work runs only on the survivor sliver.
+    θ and ub ride broadcasts; nothing collects."""
+    tf, df, dl, stats = _bm25_parts(spark, sf)
+    tf = tf.localCheckpoint()  # feeds threshold, prune AND final scoring
+    n_terms = len(BM25_QUERY)
+    # phase 1: conjunctive θ
+    conj = (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .where(F.col("nt") == n_terms)
+        .select("doc_id")
+    )
+    conj_scores = _bm25_exact(
+        tf.join(F.broadcast(conj), "doc_id", "left_semi"), df, dl, stats
+    )
+    theta = (
+        conj_scores.orderBy(F.col("score").desc())
+        .limit(BM25_TOPK)
+        .agg(F.min("score").alias("kth"), F.count("*").alias("m"))
+        .select(
+            F.when(F.col("m") == BM25_TOPK, F.col("kth"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("theta")
+        )
+    )
+    # phase 2: per-term saturation upper bounds, Σ over present terms
+    ub = df.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "word", (_bm25_idf() * (BM25_K1 + 1.0)).alias("ub")
+    )
+    survivors = (
+        tf.join(F.broadcast(ub), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("max_possible"))
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("max_possible") >= F.col("theta"))
+        .select("doc_id")
+    )
+    # phase 3: exact scores for survivors only
+    s = _bm25_exact(
+        tf.join(F.broadcast(survivors), "doc_id", "left_semi"), df, dl, stats
     )
     wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (
@@ -1495,6 +1592,12 @@ def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wnd))
         .where(F.col("rk") <= BM25_TOPK)
     )
+
+
+# Lossless pruning ⇒ the oracle IS the exhaustive-scan oracle (the
+# j11_salted_skew_join device: a differently-planned Spark query checked
+# against the straightforward SQL statement of the semantics).
+ORACLE["index_wand_topk"] = ORACLE["index_bm25_topk"]
 
 
 ORACLE["doc_html_extract"] = r"""

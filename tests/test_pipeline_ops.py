@@ -2051,3 +2051,59 @@ def test_emb_pca_power_recovers_planted_spike(spark):
     assert got == {k + 1: int(v[k]) for k in range(S.DIM)}
     vf = v.astype(float)
     assert abs(vf @ w / np.linalg.norm(vf) / np.linalg.norm(w)) > 0.999
+
+
+def test_index_wand_topk_lossless_and_actually_prunes(spark):
+    """WAND == the exhaustive BM25 top-k exactly (lossless), AND the
+    python-recomputed prune is non-trivial on the fixture (some matching
+    docs fall below θ) while never touching a true top-k doc."""
+    import math
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    wand = sorted(
+        tuple(r) for r in T.QUERIES["index_wand_topk"](spark, SF_TEST).collect()
+    )
+    full = sorted(
+        tuple(r) for r in T.QUERIES["index_bm25_topk"](spark, SF_TEST).collect()
+    )
+    assert wand == full and len(wand) == T.BM25_TOPK
+
+    # python recompute of θ / ub / exact scores
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [w for w in r["text"].split(" ") if w] for r in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        d: {w: c for w, c in Counter(t).items() if w in T.BM25_QUERY}
+        for d, t in toks.items()
+    }
+    tf = {d: c for d, c in tf.items() if c}
+    df = Counter(w for c in tf.values() for w in c)
+    idf = {
+        w: math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5)) for w in df
+    }
+
+    def score(d):
+        return sum(
+            idf[w]
+            * c
+            * (T.BM25_K1 + 1.0)
+            / (c + T.BM25_K1 * (1.0 - T.BM25_B + T.BM25_B * dl[d] / avgdl))
+            for w, c in tf[d].items()
+        )
+
+    conj = [d for d, c in tf.items() if len(c) == len(T.BM25_QUERY)]
+    assert len(conj) >= T.BM25_TOPK  # θ is finite on the fixture
+    theta = sorted((score(d) for d in conj), reverse=True)[T.BM25_TOPK - 1]
+    ub = {w: idf[w] * (T.BM25_K1 + 1.0) for w in idf}
+    pruned = [d for d, c in tf.items() if sum(ub[w] for w in c) < theta]
+    assert pruned, "prune must actually drop documents on the fixture"
+    top_ids = {r[0] for r in full}
+    assert not (top_ids & set(pruned))  # lossless: no top-k doc pruned
+    # and every pruned doc's exact score is indeed below the final cut
+    kth = min(r[1] for r in full)
+    assert all(score(d) < kth for d in pruned)

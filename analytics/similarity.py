@@ -1449,7 +1449,13 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     )
     for _ in range(PCA_ROUNDS):
         u = (
-            c.join(v, c.j == v.k)
+            # v is d rows — ALWAYS broadcast: without the hint Catalyst
+            # has no stats for the derived iterate and plans a per-round
+            # SortMergeJoin + two exchanges of the d^2 matrix.  At this
+            # size the wall is the same (~1 s for 4 rounds either way,
+            # measured sf0.1), but the broadcast shape is the one that
+            # holds if d grows: the matrix side never re-sorts.
+            c.join(F.broadcast(v), c.j == v.k)
             .groupBy(c.i)
             .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
             .select(F.col("i").alias("k"), "u")

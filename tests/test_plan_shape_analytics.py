@@ -427,3 +427,75 @@ def test_winnow_fingerprint_zero_shuffle_no_python(spark):
     p = plan(T.doc_winnow_fingerprint(spark, SF_TEST))
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_bfs_depth_round_partial_min_agg(spark):
+    """The returned plan is O(1) (per-round localCheckpoint: a filter
+    over the final materialized frame, no 4x nested re-expansion, no
+    parquet re-scan), and ONE relaxation round — reconstructed from the
+    same frames — partial-aggregates its candidate min map-side, so the
+    dst shuffle carries one row per (partition, dst), never per
+    traversed edge."""
+    from analytics import graph as G
+    from analytics.common import load
+
+    p = plan(G.link_bfs_depth(spark, SF_TEST))
+    assert p.count("Scan ExistingRDD") >= 1  # checkpointed final frame
+    assert "Scan parquet" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    edges = load(spark, SF_TEST, "lineitem").select(
+        (F.col("l_partkey") % G.N_NODES).alias("src"),
+        ((F.col("l_partkey") + 1 + F.col("l_suppkey") % 5) % G.N_NODES).alias(
+            "dst"
+        ),
+    )
+    seeds = edges.select(F.col("src").alias("node")).withColumn(
+        "depth", F.lit(0)
+    )
+    one_round = (
+        edges.join(seeds.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg((F.min("depth") + 1).alias("cand"))
+    )
+    rp = plan(one_round)
+    assert "partial_min" in rp  # map-side combine below the dst exchange
+
+
+def test_ab_ttest_single_moments_exchange(spark):
+    """One map-side-combined hash agg reduces the event stream to the
+    (event_type x 2) moments table; the A/B self-join then runs on that
+    tiny frame (no second corpus-sized exchange, no sort-merge join,
+    no Python)."""
+    from analytics import events as E
+
+    p = plan(E.QUERIES["events_ab_ttest"](spark, SF_TEST))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "SortMergeJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pca_power_corpus_work_is_one_gemm(spark):
+    """The returned iterate plan is model-sized: the corpus-sized GEMM
+    ran once inside the localCheckpoint (visible only as an ExistingRDD
+    scan), and the final round is broadcast joins over the d^2 matrix —
+    no corpus scan, no sort-merge join in the iteration."""
+    from analytics import similarity as S
+
+    p = plan(S.QUERIES["emb_pca_power"](spark, SF_TEST))
+    assert "Scan ExistingRDD" in p  # checkpointed C feeds the rounds
+    assert "Scan parquet" not in p  # corpus touched only inside the GEMM
+    assert "SortMergeJoin" not in p
+
+
+def test_wand_prunes_before_exact_scoring(spark):
+    """The survivor filter (ub sum >= theta) sits below the exact-score
+    join: theta and the ub table ride broadcasts, the dl join for the
+    survivor sliver stays a hash join, and the corpus is never
+    sort-merge-joined."""
+    from analytics import text as T
+
+    p = plan(T.QUERIES["index_wand_topk"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") >= 2  # theta + stats scalars
+    assert "max_possible" in p and "theta" in p

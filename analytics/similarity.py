@@ -1468,3 +1468,60 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             .alias("v"),
         )
     return v.select("k", F.col("v").alias("comp"))
+
+
+ORACLE["emb_pca_project"] = (
+    ORACLE["emb_pca_power"].replace(
+        f"SELECT k, v AS comp FROM v{PCA_ROUNDS}",
+        f""",sp AS (SELECT k, v FROM v{PCA_ROUNDS}),
+    rows_g AS ({_PCA_G_SPIKED.replace("SELECT list_transform", "SELECT vec_id, list_transform")})
+    SELECT r.vec_id AS vec_id,
+           CAST(sum(r.xi[sp.k] * sp.v) AS BIGINT) AS proj_grid
+    FROM rows_g r CROSS JOIN sp
+    GROUP BY r.vec_id""",
+    )
+)
+
+
+@q("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """The consumer half of emb_pca_power: every embedding projected onto
+    the recovered principal direction — the 1-D whitening/feature score
+    a curation pipeline sorts or buckets by (e.g. ranking docs along the
+    dominant topic axis, or splitting a corpus by its first PC).
+
+    Parity: ZERO float surface — the iterate v and the spiked grid xi
+    are both exact int64 vectors, so the projection Σ xi[k]·v[k] is an
+    exact integer (|xi| <= ~2.2e6 spiked, |v| <= 1e6 → products <=
+    2.2e12, the d=64 sum <= 1.5e14 — int64-exact); the output column IS
+    the grid value.
+
+    Scale shape: the direction is d rows — broadcast onto the corpus
+    scan; the projection is one narrow zip-free aggregate per row
+    (posexplode + broadcast join + sum with map-side partials, the
+    emb_drift_check exchange shape: the shuffle carries one row per
+    (partition, vec_id) — and since vec_id partitions the scan, the
+    partial IS the total).  At 10^10 vectors: one pass, model-sized
+    broadcast, no self-join anywhere."""
+    comp = QUERIES["emb_pca_power"](spark, sf)  # (k, comp) — d rows
+    e = load_spread(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v, i: F.round(
+                (
+                    v.cast("double")
+                    + (F.col("vec_id") % 7 - 3)
+                    * 0.5
+                    * F.when((i + 1) % 3 == 0, -1.0).otherwise(1.0)
+                )
+                * COV_GRID
+            ).cast("long"),
+        ).alias("xi"),
+    )
+    x = e.select("vec_id", F.posexplode("xi").alias("p", "x"))
+    return (
+        x.join(F.broadcast(comp), x.p + 1 == comp.k)
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("comp")).alias("proj_grid"))
+    )

@@ -2107,3 +2107,50 @@ def test_index_wand_topk_lossless_and_actually_prunes(spark):
     # and every pruned doc's exact score is indeed below the final cut
     kth = min(r[1] for r in full)
     assert all(score(d) < kth for d in pruned)
+
+
+def test_emb_pca_project_exact_and_recovers_coefficient(spark):
+    """Projection == exact numpy integer recompute (bit-exact: zero float
+    surface), and the 1-D scores recover the PLANTED per-row spike
+    coefficient a = (vec_id % 7 - 3)/2 with |corr| > 0.99 — the projection
+    is the feature a curation pipeline would actually sort by."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    G = S.COV_GRID
+    w = np.array([(-1 if k % 3 == 0 else 1) for k in range(1, S.DIM + 1)], float)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    a = (ids % 7 - 3) * 0.5
+    Xi = np.round((X + a[:, None] * w[None, :]) * G).astype(np.int64)
+    n = len(Xi)
+    cov = (
+        np.round(
+            (Xi.T @ Xi) / n / G**2
+            - np.outer(Xi.sum(0) / n / G, Xi.sum(0) / n / G),
+            4,
+        )
+        + 0.0
+    )
+    c = np.round(cov / np.abs(cov).max() * S.PCA_GRID).astype(np.int64)
+    v = np.full(S.DIM, S.PCA_GRID, dtype=np.int64)
+    for _ in range(S.PCA_ROUNDS):
+        u = c @ v
+        v = np.round(u / np.abs(u).max() * S.PCA_GRID).astype(np.int64)
+    want = dict(zip(ids.tolist(), (Xi @ v).tolist()))
+
+    got = {
+        r["vec_id"]: r["proj_grid"]
+        for r in S.QUERIES["emb_pca_project"](spark, SF_TEST).collect()
+    }
+    assert got == want
+    proj = np.array([want[i] for i in ids.tolist()], dtype=np.float64)
+    corr = np.corrcoef(proj, a)[0, 1]
+    assert abs(corr) > 0.99

@@ -55,11 +55,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      (w5 epoch-floor fix — the r04 pass was coincidental per ADVICE)
 #      leads the window,
 #   1. the 49 oracle-backed round-5 ops with NO driver row in any round
-#      (local check_parity evidence only).  Three no-row candidates were
-#      cut for slots, chosen for the most trivial plans + strongest local
+#      (local check_parity evidence only).  No-row candidates cut for
+#      slots, chosen for the most trivial plans + strongest derived
 #      evidence: a10_unpivot (stack projection), sc9_csv_json_sources
-#      (round-trip identity), and the flagship frontier_pop (r03 driver
-#      row + crawl-parity pytest + entry() smoke-run every round).
+#      (round-trip identity), index_wand_topk (lossless prune — result
+#      provably IDENTICAL to in-window index_bm25_topk, same oracle),
+#      emb_pca_project (bit-exact numpy pytest; direct consumer of
+#      in-window emb_pca_power), and the flagship frontier_pop (r03
+#      driver row + crawl-parity pytest + entry() smoke-run every
+#      round).
 #      Also dropped from the window
 #      (all pass tools/check_parity.py on current code today):
 #      the stale rows-only entries (a fresh driver row would still be a

@@ -95,9 +95,12 @@ HEADLINE = (
     "sc10_orc_source",
     "layout_compact_small_files",
     # round-5h: seed-ring BFS depth, Welch A/B readout, planted-spike PCA
+    # power iteration + exact projection, lossless WAND retrieval
     "link_bfs_depth",
     "events_ab_ttest",
     "emb_pca_power",
+    "emb_pca_project",
+    "index_wand_topk",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -2352,3 +2352,102 @@ def doc_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join(F.transform(fps, lambda v: v.cast("string")), ",")
         ).alias("fp_hash"),
     )
+
+
+# --- Heaps'-law vocabulary growth -------------------------------------------
+GROWTH_BUCKETS = 10  # doc_id-ordered corpus prefixes measured (deciles)
+
+ORACLE["corpus_vocab_growth"] = f"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(ws[1:len(ws) - 1],
+                                   (x, i) -> x || ' ' || ws[i + 1])) AS word
+      FROM ws),
+    f AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY word),
+    mx AS (SELECT max(doc_id) AS mx FROM documents),
+    -- floor() explicitly: DuckDB CAST(double AS BIGINT) ROUNDS while
+    -- Spark's cast truncates — floor is the shared semantics
+    b AS (SELECT CAST(least(CAST(floor(f.first_doc * {GROWTH_BUCKETS}
+                                       / (mx.mx + 1)) AS BIGINT),
+                            {GROWTH_BUCKETS} - 1) AS INTEGER) AS bucket,
+                 count(*) AS new_words
+          FROM f CROSS JOIN mx GROUP BY 1),
+    t AS (SELECT CAST(least(CAST(floor(doc_id * {GROWTH_BUCKETS}
+                                       / (mx.mx + 1)) AS BIGINT),
+                            {GROWTH_BUCKETS} - 1) AS INTEGER) AS bucket,
+                 CAST(count(*) AS BIGINT) AS docs
+          FROM documents CROSS JOIN mx GROUP BY 1)
+    SELECT t.bucket AS bucket,
+           CAST(sum(t2.docs) AS BIGINT) AS docs_seen,
+           CAST(coalesce(sum(b2.new_words), 0) AS BIGINT) AS vocab_size
+    FROM t
+    JOIN t t2 ON t2.bucket <= t.bucket
+    LEFT JOIN b b2 ON b2.bucket = t2.bucket
+    GROUP BY t.bucket
+"""
+
+
+@q("corpus_vocab_growth")
+def corpus_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct BIGRAM vocabulary
+    after each doc_id-ordered tenth of the corpus (bigrams, not unigrams:
+    the fixture's 31-word unigram vocabulary saturates inside the first
+    bucket — the ~900-bigram vocabulary keeps discovering new entries in
+    every decile, a real Heaps curve) — the curve a tokenizer/
+    dedup team watches to decide whether more crawl yields more
+    vocabulary (saturating curve ⇒ diminishing data value).
+
+    The classic formulation is a sequential scan; the distributed trick
+    is that cumulative-distinct collapses to a plain aggregation:
+    vocab(prefix t) = #{words whose FIRST occurrence doc <= t}, and
+    first occurrence is just min(doc_id) per word — one hash agg.  The
+    curve is then a cumulative sum over GROWTH_BUCKETS bucket counts
+    (bounded — never a corpus-length running window).  ZERO floats:
+    bucket = doc_id*B/(max+1) in exact integer arithmetic, outputs are
+    counts.
+
+    Scale shape: one map-side-combined (word, min) agg — the shuffle is
+    vocabulary-sized, not token-sized; the bucket rollup and the
+    B x B cumulative self-join are constant-sized.  At 10^12 tokens the
+    plan is scan -> partial-min -> tiny rollup, the optimal one-pass
+    answer to an apparently-sequential question."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = F.zip_with(  # the corpus_bigram_topk zero-shuffle expression
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    w = d.select("doc_id", F.explode(bigrams).alias("word")).where(
+        F.col("word").contains(" ")
+    )
+    f = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    B = GROWTH_BUCKETS
+    bucket_of = lambda c: F.least(  # noqa: E731
+        F.floor(c * B / (F.col("mx") + 1)), F.lit(B - 1)
+    ).cast("int")
+    b = (
+        f.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of(F.col("first_doc")).alias("bucket"))
+        .agg(F.count("*").alias("new_words"))
+    )
+    t = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bucket"))
+        .agg(F.count("*").alias("docs"))
+    )
+    t2 = t.select(F.col("bucket").alias("b2"), F.col("docs").alias("d2"))
+    b2 = b.select(F.col("bucket").alias("b3"), F.col("new_words").alias("nw"))
+    return (
+        t.join(t2, F.col("b2") <= F.col("bucket"))
+        .join(b2, F.col("b3") == F.col("b2"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.sum("d2").alias("docs_seen"),
+            F.coalesce(F.sum("nw"), F.lit(0)).alias("vocab_size"),
+        )
+    )

@@ -2154,3 +2154,43 @@ def test_emb_pca_project_exact_and_recovers_coefficient(spark):
     proj = np.array([want[i] for i in ids.tolist()], dtype=np.float64)
     corr = np.corrcoef(proj, a)[0, 1]
     assert abs(corr) > 0.99
+
+
+def test_corpus_vocab_growth_matches_sequential_scan(spark):
+    """The one-pass min(first_doc) formulation == the literal sequential
+    scan it replaces (walk docs in doc_id order, count distinct bigrams
+    after each decile), and the fixture curve genuinely GROWS (new
+    vocabulary after bucket 0) and is monotone."""
+    from analytics import text as T
+    from analytics.common import load
+
+    rows = sorted(
+        (
+            (r["doc_id"], [w for w in r["text"].split(" ") if w])
+            for r in load(spark, SF_TEST, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+    )
+    B = T.GROWTH_BUCKETS
+    mx = max(d for d, _ in rows)
+    seen: set = set()
+    docs_in, vocab_at = [0] * B, [0] * B
+    for doc_id, toks in rows:  # the sequential scan the op refuses to run
+        b = min(int(doc_id * B / (mx + 1)), B - 1)
+        docs_in[b] += 1
+        seen |= {f"{a} {c}" for a, c in zip(toks, toks[1:])}
+        vocab_at[b] = len(seen)
+    want = []
+    docs_seen = 0
+    for b in range(B):
+        docs_seen += docs_in[b]
+        want.append((b, docs_seen, vocab_at[b]))
+
+    got = sorted(
+        tuple(r) for r in T.QUERIES["corpus_vocab_growth"](spark, SF_TEST).collect()
+    )
+    assert got == want
+    curve = [v for _, _, v in got]
+    assert curve == sorted(curve)  # monotone
+    assert curve[-1] > curve[0]  # real growth past the first decile

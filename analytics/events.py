@@ -407,3 +407,64 @@ def events_ab_ttest(spark: SparkSession, sf: str) -> DataFrame:
         F.round(t, 4).alias("t_stat"),
         (F.abs(t) > 1.96).cast("int").alias("significant"),
     )
+
+
+@q(
+    "events_stickiness",
+    """
+    WITH b AS (
+      SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+                      user_id
+      FROM events),
+    w AS (
+      SELECT DISTINCT b.user_id, b.day + r.i AS day
+      FROM b, range(0, 7) r(i)),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM b GROUP BY day),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY day)
+    SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU stickiness per day — the product-analytics engagement
+    ratio every dashboard carries.  The hard part distributed is WAU:
+    an exact DISTINCT over a trailing 7-day window.  The sliding-window
+    distinct inverts into a bounded forward explode: each (user, active
+    day) pair supports WAU on days d..d+6, so WAU(d) = |distinct (user)
+    after exploding every active day 7x| — a fixed 7x expansion + one
+    dropDuplicates, never a per-day window over the raw stream (the
+    events_retention_cohorts two-phase count-distinct device).
+
+    Parity: day keys are exact floor-epoch integers (the st3/w5 floor
+    discipline — floored twice, identically, in both engines), DAU/WAU
+    are exact counts, and stickiness is ONE double division of exact
+    integers rounded once.
+
+    Scale shape: the raw stream reduces to distinct (user, day) pairs in
+    one partial-aggregated pass; everything after is user-day-sized (7x
+    bounded).  Output days include the 6 run-out days after the last
+    active day (their WAU window still contains activity) — same set in
+    both engines; the final join keeps only days with DAU, i.e. real
+    dashboard rows."""
+    b = (
+        load(spark, sf, "events")
+        .select(
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = (
+        b.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day")
+        .select("user_id", (F.col("day") + F.col("i")).alias("day"))
+        .distinct()
+    )
+    dau = b.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = w.groupBy("day").agg(F.count("*").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+    )

@@ -2194,3 +2194,37 @@ def test_corpus_vocab_growth_matches_sequential_scan(spark):
     curve = [v for _, _, v in got]
     assert curve == sorted(curve)  # monotone
     assert curve[-1] > curve[0]  # real growth past the first decile
+
+
+def test_events_stickiness_matches_sequential_windows(spark):
+    """The 7x-explode WAU == the literal trailing-window recompute
+    (distinct users active in [d-6, d] per day), DAU == per-day distinct,
+    and the fixture has days where WAU > DAU (the window actually
+    matters)."""
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "events").select("ts", "user_id").collect()
+    )
+    active: dict[int, set] = {}
+    for r in rows:
+        day = int(r["ts"].timestamp()) // 86400
+        active.setdefault(day, set()).add(r["user_id"])
+    want = {}
+    for d in active:
+        wau = set().union(
+            *(active.get(d2, set()) for d2 in range(d - 6, d + 1))
+        )
+        want[d] = (len(active[d]), len(wau))
+
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in E.QUERIES["events_stickiness"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(want)
+    for d, (dau, wau) in want.items():
+        gd, gw, st = got[d]
+        assert (gd, gw) == (dau, wau)
+        assert abs(st - dau / wau) < 5e-5
+    assert any(gw > gd for gd, gw, _ in got.values())

@@ -101,6 +101,9 @@ HEADLINE = (
     "emb_pca_power",
     "emb_pca_project",
     "index_wand_topk",
+    # round-5i: Heaps-law vocabulary growth, DAU/WAU stickiness
+    "corpus_vocab_growth",
+    "events_stickiness",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

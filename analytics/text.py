@@ -2451,3 +2451,79 @@ def corpus_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum("nw"), F.lit(0)).alias("vocab_size"),
         )
     )
+
+
+# --- Corpus mixture drift (chi-square per word) -----------------------------
+ORACLE["corpus_chi2_drift"] = """
+    WITH g AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp,
+             text
+      FROM documents),
+    w AS (
+      SELECT grp,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      FROM g),
+    c AS (SELECT word,
+                 CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_a,
+                 CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_b
+          FROM w GROUP BY word),
+    n AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c)
+    SELECT word, c_a, c_b,
+           round(
+             (c_a - n_a * (c_a + c_b) / (n_a + n_b))
+             * (c_a - n_a * (c_a + c_b) / (n_a + n_b))
+             / (n_a * (c_a + c_b) / (n_a + n_b))
+             + (c_b - n_b * (c_a + c_b) / (n_a + n_b))
+             * (c_b - n_b * (c_a + c_b) / (n_a + n_b))
+             / (n_b * (c_a + c_b) / (n_a + n_b)), 6) AS chi2
+    FROM c CROSS JOIN n
+"""
+
+
+@q("corpus_chi2_drift")
+def corpus_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-mixture drift monitor — the corpus-side twin of
+    emb_drift_check: split the corpus into two md5 slices (in production:
+    two crawl epochs / two sources) and flag vocabulary whose frequency
+    shifted, via the per-word 2x2 chi-square homogeneity contribution
+    (c - e)^2/e summed over the two slices.
+
+    chi-square, not KL, on purpose: KL needs ln() whose last-ulp
+    behaviour is libm-specific, while every chi2 input here is an exact
+    integer count and each per-word statistic is ONE fixed-shape rational
+    expression — and the output is PER-WORD (vocabulary-sized), so no
+    cross-word double summation ever happens: nothing in this query can
+    depend on summation order at all.
+
+    Scale shape: one map-side-combined (word, slice-flag) count agg — the
+    shuffle is vocabulary-sized, not token-sized; the 1-row totals frame
+    broadcasts (crossJoin of an aggregate, the emb_covariance n device).
+    At web scale this is the daily two-epoch distribution diff: one scan,
+    model-sized everything after."""
+    d = load(spark, sf, "documents")
+    g = d.select(
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8", "a")
+        .otherwise("b")
+        .alias("grp"),
+        "text",
+    )
+    w = g.select(
+        "grp",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    c = w.groupBy("word").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("c_b"),
+    )
+    n = c.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    e_a = F.col("n_a") * (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    e_b = F.col("n_b") * (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    chi2 = (F.col("c_a") - e_a) * (F.col("c_a") - e_a) / e_a + (
+        F.col("c_b") - e_b
+    ) * (F.col("c_b") - e_b) / e_b
+    return c.crossJoin(F.broadcast(n)).select(
+        "word", "c_a", "c_b", F.round(chi2, 6).alias("chi2")
+    )

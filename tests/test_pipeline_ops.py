@@ -2228,3 +2228,36 @@ def test_events_stickiness_matches_sequential_windows(spark):
         assert (gd, gw) == (dau, wau)
         assert abs(st - dau / wau) < 5e-5
     assert any(gw > gd for gd, gw, _ in got.values())
+
+
+def test_corpus_chi2_drift_matches_python(spark):
+    """Per-word chi-square == a python recompute from exact counts, and
+    the md5 split is genuinely two-sided on the fixture."""
+    import hashlib
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect():
+        grp = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] < "8"
+        (ca if grp else cb).update(w for w in r["text"].split(" ") if w)
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    assert n_a > 0 and n_b > 0  # both slices populated
+    words = set(ca) | set(cb)
+
+    got = {
+        r["word"]: (r["c_a"], r["c_b"], r["chi2"])
+        for r in T.QUERIES["corpus_chi2_drift"](spark, SF_TEST).collect()
+    }
+    assert set(got) == words
+    for w in words:
+        a, b = ca[w], cb[w]
+        e_a = n_a * (a + b) / (n_a + n_b)
+        e_b = n_b * (a + b) / (n_a + n_b)
+        chi2 = (a - e_a) ** 2 / e_a + (b - e_b) ** 2 / e_b
+        ga, gb, gchi = got[w]
+        assert (ga, gb) == (a, b)
+        assert abs(gchi - chi2) < 5e-6

@@ -717,3 +717,84 @@ def link_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     return dist.where(F.col("depth").isNotNull()).select(
         "node", F.col("depth").cast("int").alias("depth")
     )
+
+
+# --- Co-citation related pages ---------------------------------------------
+# "Related pages" by co-citation (Dean & Henzinger, WWW'99): two pages are
+# related when many sources link to BOTH.  The quadratic hazard is hub
+# sources — a directory page with 10^5 outlinks would contribute 10^10
+# pairs — so production co-citation caps the per-source outlink sample; the
+# cap here is deterministic (lowest-ranked dsts) so both engines agree.
+COCITE_CAP = 32
+COCITE_TOPK = 10
+
+_COCITE_SQL = f"""
+    WITH edges AS (SELECT DISTINCT l_partkey % {N_NODES} AS src,
+                                   l_suppkey % {N_NODES} AS dst
+                   FROM lineitem
+                   WHERE l_partkey % {N_NODES} != l_suppkey % {N_NODES}),
+    capped AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM edges) WHERE rn <= {COCITE_CAP}),
+    p AS (SELECT c1.dst AS a, c2.dst AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM capped c1 JOIN capped c2
+            ON c1.src = c2.src AND c1.dst != c2.dst
+          GROUP BY 1, 2),
+    r AS (SELECT a, b, cnt,
+                 CAST(row_number() OVER (PARTITION BY a
+                                         ORDER BY cnt DESC, b) AS INT) AS rn
+          FROM p)
+    SELECT a, b, cnt, rn FROM r WHERE rn <= {COCITE_TOPK}
+"""
+
+
+@q("link_cocitation_topk", _COCITE_SQL)
+def link_cocitation_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Related pages by co-citation: for every page ``a``, the top
+    {COCITE_TOPK} pages ``b`` most often linked FROM THE SAME SOURCE as
+    ``a`` (common in-link count), ties broken by page id.  Edges are the
+    deterministic lineitem graph shared with link_pagerank.
+
+    Scale shape: the pair generation is an inverted-index self-join keyed
+    on src, and its cost is Σ deg(src)² — unbounded at web scale (one
+    directory hub = 10^10 pairs).  The defense is the deterministic
+    per-source outlink cap: a src-keyed window keeps the {COCITE_CAP}
+    lowest dsts per source BEFORE the self-join, bounding the blow-up at
+    |sources| × {COCITE_CAP}² regardless of hub degree (the sampling
+    device of production related-pages and of dedup_prefix_jaccard's
+    prefix filter).  The window and the self-join share the src hash
+    partitioning, so the join adds no exchange beyond the window's own;
+    pair counts partial-aggregate map-side, and the final per-page top-k
+    window ranks at most |pages| × {COCITE_CAP} candidate rows with
+    WindowGroupLimit pushdown.  Counts are exact integers — no float
+    parity surface."""
+    li = load(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w_cap = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w_cap))
+        .where(F.col("rn") <= COCITE_CAP)
+        .drop("rn")
+    )
+    pairs = (
+        capped.alias("c1")
+        .join(capped.alias("c2"), "src")
+        .where(F.col("c1.dst") != F.col("c2.dst"))
+        .groupBy(F.col("c1.dst").alias("a"), F.col("c2.dst").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_top = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= COCITE_TOPK)
+        .select("a", "b", "cnt", "rn")
+    )

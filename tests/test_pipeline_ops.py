@@ -2261,3 +2261,39 @@ def test_corpus_chi2_drift_matches_python(spark):
         ga, gb, gchi = got[w]
         assert (ga, gb) == (a, b)
         assert abs(gchi - chi2) < 5e-6
+
+
+def test_cocitation_matches_python(spark):
+    """link_cocitation_topk vs a pure-python recompute: per-source capped
+    outlink sample, directed common-source pair counts, per-page top-k."""
+    from collections import Counter, defaultdict
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    li = load(spark, SF_TEST, "lineitem").select("l_partkey", "l_suppkey").collect()
+    out = defaultdict(set)
+    for r in li:
+        src, dst = r["l_partkey"] % G.N_NODES, r["l_suppkey"] % G.N_NODES
+        if src != dst:
+            out[src].add(dst)
+    cnt = Counter()
+    for src, dsts in out.items():
+        capped = sorted(dsts)[: G.COCITE_CAP]
+        for a in capped:
+            for b in capped:
+                if a != b:
+                    cnt[(a, b)] += 1
+    per_a = defaultdict(list)
+    for (a, b), c in cnt.items():
+        per_a[a].append((b, c))
+    want = set()
+    for a, lst in per_a.items():
+        ranked = sorted(lst, key=lambda bc: (-bc[1], bc[0]))
+        for rn, (b, c) in enumerate(ranked[: G.COCITE_TOPK], 1):
+            want.add((a, b, c, rn))
+    got = {
+        (r["a"], r["b"], r["cnt"], r["rn"])
+        for r in G.link_cocitation_topk(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

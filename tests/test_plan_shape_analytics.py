@@ -499,3 +499,15 @@ def test_wand_prunes_before_exact_scoring(spark):
     assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") >= 2  # theta + stats scalars
     assert "max_possible" in p and "theta" in p
+
+
+def test_cocitation_capped_join_topk_pushdown(spark):
+    """The per-source cap ranks BEFORE the self-join (the quadratic bound),
+    pair counts partial-aggregate map-side, and both top-k windows get
+    WindowGroupLimit pushdown; no Python anywhere."""
+    from analytics import graph as G
+
+    p = plan(G.link_cocitation_topk(spark, SF_TEST))
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

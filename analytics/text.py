@@ -7,6 +7,7 @@ each with a DuckDB oracle implementing the identical formula.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2526,4 +2527,79 @@ def corpus_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
     ) * (F.col("c_b") - e_b) / e_b
     return c.crossJoin(F.broadcast(n)).select(
         "word", "c_a", "c_b", F.round(chi2, 6).alias("chi2")
+    )
+
+
+# --- Unicode NFC normalization ---------------------------------------------
+# Pre-tokenization normalization is a universal first pass of every LLM text
+# pipeline (BPE vocabularies are trained on NFC/NFKC-normalized bytes, and
+# near-dup hashing breaks if 'é' sometimes arrives composed U+00E9 and
+# sometimes decomposed 'e'+U+0301).  Spark has NO built-in Unicode
+# normalizer, so this is a legitimate Arrow-vectorized pandas-UDF hot path
+# (UD1 class) — never per-row Python.  The fixture text is ASCII, so
+# decomposed forms are injected deterministically (md5-keyed, the
+# doc_c4_clean synthetic-defect device) with identical codepoints on both
+# engines; DuckDB's nfc_normalize() is the oracle.  Only Unicode-1.1-stable
+# combining sequences are used (e+U+0301, A+U+030A, o+U+0308) so the two
+# engines' Unicode table versions cannot disagree.
+_NFC_SUFFIX_0 = " café"  # -> " café"
+_NFC_SUFFIX_1 = " Ångström"  # -> " Ångström"
+
+
+@q(
+    "text_normalize_nfc",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 3
+               WHEN 0 THEN text || ' cafe' || chr(769)
+               WHEN 1 THEN text || ' A' || chr(778) || 'ngstro' || chr(776)
+                         || 'm'
+               ELSE text END AS t
+      FROM documents),
+    n AS (SELECT doc_id, t, nfc_normalize(t) AS norm FROM aug)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_raw,
+           CAST(length(norm) AS BIGINT) AS n_norm,
+           (t != norm) AS changed,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """NFC-normalize every document: inject md5-keyed decomposed Unicode
+    suffixes (1/3 of docs get ' cafe'+COMBINING ACUTE, 1/3 get a
+    decomposed ' Ångström', 1/3 stay ASCII), normalize with an
+    Arrow-batched pandas UDF over ``unicodedata.normalize('NFC', ...)``,
+    and return codepoint lengths before/after, a changed flag, and the
+    md5 of the normalized text (full-content comparison without shipping
+    megabyte rows — the doc_pii_scrub device).
+
+    Scale shape: stateless per-row map — zero shuffles, linear in input
+    splits; the only non-codegen span is the normalization UDF itself,
+    which transfers each batch once over Arrow and runs C-implemented
+    ``str.translate``-grade normalization per batch.  At 100 TB this
+    pass is scan-bound; the read schema prunes to (doc_id, text)."""
+    d = load(spark, sf, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    aug = F.when(h % 3 == 0, F.concat("text", F.lit(_NFC_SUFFIX_0))).when(
+        h % 3 == 1, F.concat("text", F.lit(_NFC_SUFFIX_1))
+    ).otherwise(F.col("text"))
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    n = d.select("doc_id", aug.alias("t")).withColumn("norm", nfc("t"))
+    return n.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_raw"),
+        F.length("norm").cast("long").alias("n_norm"),
+        (F.col("t") != F.col("norm")).alias("changed"),
+        F.md5("norm").alias("norm_md5"),
     )

@@ -2297,3 +2297,41 @@ def test_cocitation_matches_python(spark):
         for r in G.link_cocitation_topk(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_text_normalize_nfc_matches_python(spark):
+    """text_normalize_nfc vs a pure-python recompute: identical md5-keyed
+    defect injection, unicodedata NFC, codepoint lengths, and norm md5."""
+    import hashlib
+    import unicodedata
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        if h % 3 == 0:
+            t = r["text"] + " café"
+        elif h % 3 == 1:
+            t = r["text"] + " Ångström"
+        else:
+            t = r["text"]
+        norm = unicodedata.normalize("NFC", t)
+        want[r["doc_id"]] = (
+            len(t),
+            len(norm),
+            t != norm,
+            hashlib.md5(norm.encode()).hexdigest(),
+        )
+    rows = T.text_normalize_nfc(spark, SF_TEST).collect()
+    assert len(rows) == len(want)
+    changed = 0
+    for r in rows:
+        assert (r["n_raw"], r["n_norm"], r["changed"], r["norm_md5"]) == want[
+            r["doc_id"]
+        ]
+        changed += r["changed"]
+    # both defect buckets actually fire and actually normalize shorter
+    assert 0 < changed < len(rows)

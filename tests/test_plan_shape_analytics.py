@@ -511,3 +511,17 @@ def test_cocitation_capped_join_topk_pushdown(spark):
     assert "WindowGroupLimit" in p
     assert "partial_count" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_text_normalize_nfc_zero_shuffle_one_arrow_pass(spark):
+    """NFC normalization is a stateless scan: no Exchange, exactly one
+    Arrow-batched Python span, read schema pruned to (doc_id, text)."""
+    from analytics import text as T
+
+    p = plan(T.text_normalize_nfc(spark, SF_TEST))
+    assert "Exchange" not in p
+    # one Arrow span: node (4) appears once in the tree + once in detail
+    assert p.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read

@@ -468,3 +468,95 @@ def events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+# --- Marketing attribution ---------------------------------------------------
+ATTR_TOUCHES = ("click", "view")
+ATTR_WINDOW_US = 3 * 24 * 3600 * 1_000_000  # last-touch lookback: 3 days
+
+
+@q(
+    "events_attribution",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    t AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN t_us END IGNORE NULLS)
+               OVER w AS lt_t,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt_c
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT CASE WHEN lt_t IS NOT NULL
+                       AND t_us - lt_t <= {ATTR_WINDOW_US}
+                  THEN lt_c ELSE 'direct' END AS channel,
+             vc
+      FROM t WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(vc) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch revenue attribution — the standard marketing-analytics
+    primitive: each purchase is credited to the user's most recent
+    strictly-preceding click/view within a 3-day lookback, else to
+    'direct'.  Event order is (exact epoch microseconds, event_id) — the
+    events_skyline time key plus a total tie-break — and revenue sums on
+    the x100 integer grid, so the whole result is integer-exact.
+
+    Parity device: the last touch's (time, channel) pair is carried as
+    TWO last-non-null window columns whose NULL conditions are identical,
+    so they always come from the same touch row — this sidesteps
+    engine-specific struct-in-window syntax while staying pairwise
+    consistent.
+
+    Scale shape: one user_id-keyed window (per-user event sequences are
+    bounded — no global sort; the hot-user pole does not exist because a
+    single user's history fits a task by construction of the domain),
+    then the purchase rows collapse to |channels| cells with map-side
+    partial aggregation.  At 100 TB this is the canonical
+    sessionization-class plan: one shuffle on user_id, metadata-sized
+    output."""
+    utc(spark)
+    b = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    t = b.withColumn(
+        "lt_t", F.last(F.when(is_touch, F.col("t_us")), ignorenulls=True).over(w)
+    ).withColumn(
+        "lt_c",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+    )
+    p = t.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_t").isNotNull()
+            & (F.col("t_us") - F.col("lt_t") <= ATTR_WINDOW_US),
+            F.col("lt_c"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "vc",
+    )
+    return p.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("vc").alias("revenue_cents"),
+    )

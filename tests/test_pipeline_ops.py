@@ -2335,3 +2335,48 @@ def test_text_normalize_nfc_matches_python(spark):
         changed += r["changed"]
     # both defect buckets actually fire and actually normalize shorter
     assert 0 < changed < len(rows)
+
+
+def test_events_attribution_matches_python(spark):
+    """events_attribution vs a pure-python per-user sweep with the same
+    (t_us, event_id) ordering, 3-day lookback, and x100 integer grid."""
+    from collections import defaultdict
+
+    from analytics import events as E
+    from analytics.common import load, utc
+
+    utc(spark)
+    rows = (
+        load(spark, SF_TEST, "events")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) as t_us",
+            "cast(round(value * 100) as long) as vc",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    agg = defaultdict(lambda: [0, 0])
+    for seq in by_user.values():
+        seq.sort(key=lambda r: (r["t_us"], r["event_id"]))
+        last = None  # (t_us, channel) of most recent preceding touch
+        for r in seq:
+            if r["event_type"] == "purchase":
+                if last and r["t_us"] - last[0] <= E.ATTR_WINDOW_US:
+                    ch = last[1]
+                else:
+                    ch = "direct"
+                agg[ch][0] += 1
+                agg[ch][1] += r["vc"]
+            if r["event_type"] in E.ATTR_TOUCHES:
+                last = (r["t_us"], r["event_type"])
+    want = {ch: (n, v) for ch, (n, v) in agg.items()}
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in E.events_attribution(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

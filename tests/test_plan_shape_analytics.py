@@ -525,3 +525,18 @@ def test_text_normalize_nfc_zero_shuffle_one_arrow_pass(spark):
     assert "BatchEvalPython" not in p
     read = p.split("ReadSchema")[1][:200]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_events_attribution_window_then_tiny_agg(spark):
+    """One user_id window exchange + one channel-agg exchange with a
+    map-side partial below it; no Python, no global sort."""
+    from analytics import events as E
+
+    p = plan(E.events_attribution(spark, SF_TEST))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # detail section lists each Exchange once as "(n) Exchange"
+    import re
+
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 2, p

@@ -2603,3 +2603,132 @@ def text_normalize_nfc(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("t") != F.col("norm")).alias("changed"),
         F.md5("norm").alias("norm_md5"),
     )
+
+
+# --- Corpus-wide line dedup ---------------------------------------------------
+# The other half of C4's line-level cleaning (Raffel et al. 2020 §2.2 dedup):
+# any line occurring MORE THAN ONCE IN THE CORPUS is boilerplate (nav bars,
+# cookie banners, "subscribe" calls) and is removed everywhere except its
+# first occurrence.  doc_c4_clean gates lines WITHIN a doc; this op dedups
+# lines ACROSS docs.  The fixture's word-soup lines are almost all unique, so
+# boilerplate is synthesized: md5(doc_id:i)-keyed lines are replaced by a
+# canonical banner string (~1/5 of lines), giving true corpus-wide dups with
+# byte-identical injection on both engines.
+LDD_LINE_W = C4_LINE_W
+LDD_BANNER = "subscribe to our newsletter for updates"
+# packed global position: docs are KB-sized (n_chars <= ~5k), so idx < 1e5
+# always; doc_id * 1e5 + idx is collision-free and fits BIGINT at any sf.
+_LDD_PACK = 100_000
+
+_LDD_H = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 1, 4)) AS INT)"
+)
+
+ORACLE["corpus_line_dedup"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE length(text) > 0),
+    l AS (
+      SELECT doc_id, i AS idx,
+             CASE WHEN {_LDD_H} % 5 = 0 THEN '{LDD_BANNER}'
+                  ELSE array_to_string(
+                         list_slice(ws, i*{LDD_LINE_W} + 1,
+                                    i*{LDD_LINE_W} + {LDD_LINE_W}), ' ')
+             END AS line
+      FROM w, unnest(generate_series(
+               0, CAST(floor((len(ws) - 1) / {LDD_LINE_W}) AS INT))) AS t(i)),
+    f AS (
+      SELECT md5(line) AS h,
+             min(doc_id * {_LDD_PACK} + idx) AS keep_key
+      FROM l GROUP BY md5(line)),
+    k AS (
+      SELECT l.doc_id, l.idx, l.line,
+             (l.doc_id * {_LDD_PACK} + l.idx = f.keep_key) AS kept
+      FROM l JOIN f ON md5(l.line) = f.h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(kept AS INT)) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN kept THEN line END,
+                                   chr(10) ORDER BY idx), '')) AS clean_hash
+    FROM k GROUP BY doc_id
+"""
+
+
+@q("corpus_line_dedup")
+def corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-WIDE line dedup (C4 §2.2): every line that occurs more than
+    once across the whole corpus survives only at its globally-first
+    occurrence (min packed ``doc_id*1e5 + idx`` — exact-integer argmin,
+    no float tie surface).  Returns per-doc line counts and the md5 of
+    the scrubbed text (the doc_pii_scrub full-content device).
+
+    Scale shape — THE canonical web-corpus dedup plan: (1) re-line +
+    hash, narrow; (2) groupBy md5(line) with map-side partial min — the
+    shuffle carries (16-byte hash, 8-byte key) pairs, never line text;
+    (3) join the keep-keys back ON THE SAME HASH partitioning (no extra
+    exchange beyond the agg's); (4) one doc_id shuffle to rebuild docs.
+    A hot banner line ("subscribe...") occurring 10^9 times partial-
+    aggregates to one row per map task before the shuffle, so the
+    boilerplate pole combines away map-side."""
+    d = load(spark, sf, "documents").where(F.length("text") > 0)
+    ws = F.split(F.col("text"), " ")
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    l = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(ws) - 1) / LDD_LINE_W).cast("int")
+                )
+            ).alias("pos", "i"),
+            ws.alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("idx"),
+            F.when(h16 % 5 == 0, F.lit(LDD_BANNER))
+            .otherwise(
+                F.array_join(
+                    F.slice("ws", F.col("i") * LDD_LINE_W + 1, LDD_LINE_W), " "
+                )
+            )
+            .alias("line"),
+        )
+        .withColumn("h", F.md5("line"))
+        .withColumn(
+            "packed", F.col("doc_id") * _LDD_PACK + F.col("idx").cast("long")
+        )
+    )
+    firsts = l.groupBy("h").agg(F.min("packed").alias("keep_key"))
+    k = l.join(firsts, "h").withColumn(
+        "kept", F.col("packed") == F.col("keep_key")
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("idx", "line"))
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_hash"),
+    )

@@ -2380,3 +2380,61 @@ def test_events_attribution_matches_python(spark):
         for r in E.events_attribution(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_corpus_line_dedup_matches_python(spark):
+    """corpus_line_dedup vs a pure-python sweep: same md5-keyed banner
+    injection, global keep-first by packed (doc_id, idx), same rebuild."""
+    import hashlib
+    from collections import defaultdict
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = (
+        load(spark, SF_TEST, "documents")
+        .where("length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    lines = []  # (packed, doc_id, idx, line)
+    for r in docs:
+        wsl = r["text"].split(" ")
+        n_lines = (len(wsl) - 1) // T.LDD_LINE_W + 1
+        for i in range(n_lines):
+            h = int(
+                hashlib.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()[:4], 16
+            )
+            if h % 5 == 0:
+                line = T.LDD_BANNER
+            else:
+                line = " ".join(
+                    wsl[i * T.LDD_LINE_W : (i + 1) * T.LDD_LINE_W]
+                )
+            lines.append((r["doc_id"] * T._LDD_PACK + i, r["doc_id"], i, line))
+    first = {}
+    for packed, _, _, line in lines:
+        if line not in first or packed < first[line]:
+            first[line] = packed
+    per_doc = defaultdict(list)
+    for packed, doc_id, idx, line in lines:
+        per_doc[doc_id].append((idx, line, first[line] == packed))
+    want = {}
+    banner_kept = 0
+    for doc_id, ls in per_doc.items():
+        ls.sort()
+        kept = [line for _, line, k in ls if k]
+        banner_kept += sum(
+            1 for _, line, k in ls if k and line == T.LDD_BANNER
+        )
+        want[doc_id] = (
+            len(ls),
+            len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+    assert banner_kept == 1  # the injected boilerplate survives exactly once
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_hash"])
+        for r in T.corpus_line_dedup(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

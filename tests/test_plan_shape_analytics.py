@@ -540,3 +540,15 @@ def test_events_attribution_window_then_tiny_agg(spark):
 
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex == 2, p
+
+
+def test_corpus_line_dedup_partial_min_no_python(spark):
+    """The keep-key groupBy partial-aggregates map-side (the boilerplate
+    pole combines before the shuffle) and the whole plan stays JVM-side."""
+    from analytics import text as T
+
+    p = plan(T.corpus_line_dedup(spark, SF_TEST))
+    assert "partial_min" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex] or "partial_min" in p[:first_ex]

@@ -1525,3 +1525,113 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("x") * F.col("comp")).alias("proj_grid"))
     )
+
+
+# ------------------------------------------- centroid-distance outlier filter
+# Embedding-quality gate: vectors far from their label's centroid are
+# corrupted (truncated inputs, encoder NaN fallbacks, mixed-up modalities)
+# and must be dropped before contrastive training.  The fixture's per-label
+# clouds are tight (d2/avg ratios 0.9-1.12), so corruption is synthesized:
+# md5(vec_id)-keyed vectors (~1/16) are scaled x3 ON THE INTEGER GRID —
+# byte-identical injection on both engines, and the factor-2 threshold then
+# separates exactly the injected set at every sf.
+OUTLIER_FACTOR = 2
+
+
+ORACLE["emb_outlier_filter"] = f"""
+    WITH g0 AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {COV_GRID}) AS BIGINT))
+               AS xi
+      FROM embeddings),
+    g AS (
+      SELECT vec_id, label,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                            1, 4)) AS INT) % 16 = 0
+                  THEN list_transform(xi, v -> v * 3) ELSE xi END AS xi
+      FROM g0),
+    d AS (
+      SELECT vec_id, label, j - 1 AS dim, xi[j] AS vc
+      FROM g, unnest(range(1, len(xi) + 1)) t(j)),
+    c AS (
+      SELECT label, dim,
+             CAST(round(CAST(sum(vc) AS DOUBLE) / count(*)) AS BIGINT) AS mc
+      FROM d GROUP BY label, dim),
+    dist AS (
+      SELECT d.vec_id, d.label,
+             CAST(sum((d.vc - c.mc) * (d.vc - c.mc)) AS BIGINT) AS d2
+      FROM d JOIN c USING (label, dim) GROUP BY d.vec_id, d.label),
+    t AS (
+      SELECT label,
+             CAST(round(CAST(sum(d2) AS DOUBLE) / count(*)) AS BIGINT)
+               AS avg_d2
+      FROM dist GROUP BY label)
+    SELECT vec_id, label, d2 AS d2_grid, avg_d2 AS avg_d2_grid,
+           (d2 > {OUTLIER_FACTOR} * avg_d2) AS is_outlier
+    FROM dist JOIN t USING (label)
+"""
+
+
+@q("emb_outlier_filter")
+def emb_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-distance outlier filter: per-label mean on the x1e6
+    integer grid (emb_drift_check's exact-mean device), per-vector exact
+    squared L2 distance to its label centroid, flagged when d2 exceeds
+    OUTLIER_FACTOR x the label's mean d2.  Every comparison is between
+    BIGINTs — zero float parity surface beyond the two correctly-rounded
+    means.
+
+    Scale shape: centroids come from one posexplode + (label, dim)
+    partial agg whose shuffle is model-sized (|labels| x d rows); the
+    distance pass is a BROADCAST join of those centroid arrays onto the
+    corpus scan followed by one zip_with/aggregate HOF — zero corpus
+    shuffle, zero Python; the per-label threshold is another model-sized
+    agg broadcast back.  At 100 TB the corpus is touched twice, both
+    times as narrow scans."""
+    e = load_spread(spark, sf, "embeddings")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    xi = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * COV_GRID).cast("long"),
+    )
+    g = e.select(
+        "vec_id",
+        "label",
+        F.when(h16 % 16 == 0, F.transform(xi, lambda v: v * 3))
+        .otherwise(xi)
+        .alias("xi"),
+    ).localCheckpoint()  # injected grid is reused by two passes below
+    c = (
+        g.select("label", F.posexplode("xi").alias("dim", "vc"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.sum("vc") / F.count("*")).cast("long").alias("mc"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mc"))),
+                lambda s: s["mc"],
+            ).alias("centroid")
+        )
+    )
+    dist = g.join(F.broadcast(c), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with("xi", "centroid", lambda x, m: (x - m) * (x - m)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    t = dist.groupBy("label").agg(
+        F.round(F.sum("d2") / F.count("*")).cast("long").alias("avg_d2")
+    )
+    return dist.join(F.broadcast(t), "label").select(
+        "vec_id",
+        "label",
+        F.col("d2").alias("d2_grid"),
+        F.col("avg_d2").alias("avg_d2_grid"),
+        (F.col("d2") > OUTLIER_FACTOR * F.col("avg_d2")).alias("is_outlier"),
+    )

@@ -2438,3 +2438,59 @@ def test_corpus_line_dedup_matches_python(spark):
         for r in T.corpus_line_dedup(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_emb_outlier_filter_matches_numpy(spark):
+    """emb_outlier_filter vs a numpy recompute: same grid, same injection,
+    same rounded means, exact integer distances; flagged set == injected."""
+    import hashlib
+
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "embeddings").collect()
+    grid = {}
+    injected = set()
+    for r in rows:
+        xi = np.floor(
+            np.abs(np.asarray(r["embedding"], dtype="float64")) * S.COV_GRID
+            + 0.5
+        ).astype("int64") * np.sign(r["embedding"]).astype("int64")
+        h = int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:4], 16)
+        if h % 16 == 0:
+            xi = xi * 3
+            injected.add(r["vec_id"])
+        grid[r["vec_id"]] = (r["label"], xi)
+    labels = {}
+    for label, xi in grid.values():
+        labels.setdefault(label, []).append(xi)
+    # engine round() is round-half-away-from-zero: sign * floor(|x| + 0.5)
+    def _rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype("int64")
+
+    cent = {
+        lb: _rha(np.stack(v).sum(axis=0).astype("float64") / len(v))
+        for lb, v in labels.items()
+    }
+    d2 = {
+        vid: int(((xi - cent[lb]) ** 2).sum()) for vid, (lb, xi) in grid.items()
+    }
+    sums = {}
+    for vid, (lb, _) in grid.items():
+        sums.setdefault(lb, []).append(d2[vid])
+    avg = {lb: int(_rha(np.float64(sum(v) / len(v)))) for lb, v in sums.items()}
+    got = {
+        r["vec_id"]: (r["label"], r["d2_grid"], r["avg_d2_grid"], r["is_outlier"])
+        for r in S.emb_outlier_filter(spark, SF_TEST).collect()
+    }
+    assert len(got) == len(grid)
+    flagged = set()
+    for vid, (lb, xi) in grid.items():
+        g_lb, g_d2, g_avg, g_out = got[vid]
+        assert (g_lb, g_d2, g_avg) == (lb, d2[vid], avg[lb])
+        assert g_out == (d2[vid] > S.OUTLIER_FACTOR * avg[lb])
+        if g_out:
+            flagged.add(vid)
+    assert flagged == injected and len(injected) > 0

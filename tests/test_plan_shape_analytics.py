@@ -552,3 +552,14 @@ def test_corpus_line_dedup_partial_min_no_python(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     first_ex = p.index("Exchange")
     assert "HashAggregate" in p[:first_ex] or "partial_min" in p[:first_ex]
+
+
+def test_emb_outlier_filter_broadcast_no_corpus_shuffle(spark):
+    """Both the centroid table and the per-label thresholds broadcast onto
+    the corpus scan; no SortMergeJoin, no Python."""
+    from analytics import similarity as S
+
+    p = plan(S.emb_outlier_filter(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

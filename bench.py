@@ -104,6 +104,14 @@ HEADLINE = (
     # round-5i: Heaps-law vocabulary growth, DAU/WAU stickiness
     "corpus_vocab_growth",
     "events_stickiness",
+    # round-5j: co-citation related pages, Arrow NFC normalization pass,
+    # last-touch attribution, corpus-wide C4 line dedup, centroid-distance
+    # embedding gate
+    "link_cocitation_topk",
+    "text_normalize_nfc",
+    "events_attribution",
+    "corpus_line_dedup",
+    "emb_outlier_filter",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -1813,3 +1813,115 @@ def layout_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
+
+
+# --- SC6 companion: MERGE INTO dataflow, executed natively --------------------
+# engine/catalog.py:182 carries the exact Iceberg MERGE the jar-enabled
+# deployment runs for the F7 frontier merge; the jar does not exist in this
+# container (SURVEY.md §0.3), so the MERGE *dataflow* is proven here instead:
+# the same WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+# INSERT semantics as one key-partitioned full outer join, with the delta
+# synthesized md5-keyed from the snapshot itself (deterministic on both
+# engines).  Iceberg's MERGE plans exactly this join under the hood (plus
+# the O(delta) file-rewrite commit the snapshot backend already implements
+# cell-granularly in engine/crawl.py F7).
+MERGE_INS_OFFSET = 1_000_000_000
+
+
+@q(
+    "sc6_merge_upsert",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders),
+    h AS (
+      SELECT k, status, price_cents,
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4)) AS INT)
+               % 10 AS b
+      FROM t),
+    delta AS (
+      SELECT k, 'U' AS op, 'UPD' AS s2, price_cents + 500 AS p2
+      FROM h WHERE b IN (0, 1)
+      UNION ALL
+      SELECT k, 'D', NULL, NULL FROM h WHERE b = 2
+      UNION ALL
+      SELECT k + {MERGE_INS_OFFSET}, 'I', 'NEW', 9999 FROM h WHERE b = 3),
+    m AS (
+      SELECT coalesce(t.k, d.k) AS o_orderkey,
+             CASE WHEN d.op IN ('U', 'I') THEN d.s2 ELSE t.status END
+               AS status,
+             CASE WHEN d.op IN ('U', 'I') THEN d.p2 ELSE t.price_cents END
+               AS price_cents,
+             CASE WHEN d.op IS NULL THEN 'keep'
+                  WHEN d.op = 'U' THEN 'update'
+                  WHEN d.op = 'I' THEN 'insert'
+                  ELSE 'delete' END AS action
+      FROM t FULL OUTER JOIN delta d ON t.k = d.k)
+    SELECT o_orderkey, status, price_cents, action
+    FROM m WHERE action != 'delete'
+    """,
+)
+def sc6_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics executed natively: apply an md5-keyed delta
+    (20% updates, 10% deletes, 10% inserts under new keys) to the orders
+    snapshot via ONE full outer join on the merge key, emitting the
+    post-merge table plus the action each row took.  This is the exact
+    row-level contract of engine/catalog.py:182's jar-gated Iceberg MERGE
+    (SC6), so the semantics are driver-verified even though the Iceberg
+    commit protocol itself cannot run in this sandbox.
+
+    Scale shape: MERGE at 10^10 rows IS a key-co-partitioned full outer
+    join of snapshot x delta — both sides hash-partition on the merge
+    key, AQE skew-splits any hot key, and nothing ever collects.  In
+    production Iceberg prunes the join to only the files whose key
+    ranges intersect the delta (the O(delta) property the engine's
+    cell-granular snapshot backend reproduces at engine/crawl.py F7);
+    the dataflow below is what runs inside each rewritten file group.
+    Prices ride the x100 integer grid — the merge output is
+    integer-exact."""
+    t = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    h = t.withColumn("b", b)
+    upd = h.where(F.col("b").isin(0, 1)).select(
+        "k",
+        F.lit("U").alias("op"),
+        F.lit("UPD").alias("s2"),
+        (F.col("price_cents") + 500).alias("p2"),
+    )
+    dele = h.where(F.col("b") == 2).select(
+        "k",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("long").alias("p2"),
+    )
+    ins = h.where(F.col("b") == 3).select(
+        (F.col("k") + MERGE_INS_OFFSET).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("NEW").alias("s2"),
+        F.lit(9999).cast("long").alias("p2"),
+    )
+    delta = upd.unionByName(dele).unionByName(ins)
+    m = t.join(delta, "k", "full_outer").select(
+        F.col("k").alias("o_orderkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("s2"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+        F.when(F.col("op").isin("U", "I"), F.col("p2"))
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("op") == "U", "update")
+        .when(F.col("op") == "I", "insert")
+        .otherwise("delete")
+        .alias("action"),
+    )
+    return m.where(F.col("action") != "delete")

@@ -2494,3 +2494,35 @@ def test_emb_outlier_filter_matches_numpy(spark):
         if g_out:
             flagged.add(vid)
     assert flagged == injected and len(injected) > 0
+
+
+def test_sc6_merge_upsert_matches_python(spark):
+    """sc6_merge_upsert vs a dict-based MERGE recompute: same md5 delta,
+    same WHEN MATCHED UPDATE / DELETE / NOT MATCHED INSERT semantics."""
+    import hashlib
+
+    from analytics import relational as R
+    from analytics.common import load
+
+    t = {
+        r["o_orderkey"]: (r["o_orderstatus"], round(r["o_totalprice"] * 100))
+        for r in load(spark, SF_TEST, "orders").collect()
+    }
+    want = {}
+    for k, (status, cents) in t.items():
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 10
+        if b in (0, 1):
+            want[k] = ("UPD", cents + 500, "update")
+        elif b == 2:
+            pass  # deleted
+        else:
+            want[k] = (status, cents, "keep")
+        if b == 3:
+            want[k + R.MERGE_INS_OFFSET] = ("NEW", 9999, "insert")
+    got = {
+        r["o_orderkey"]: (r["status"], r["price_cents"], r["action"])
+        for r in R.sc6_merge_upsert(spark, SF_TEST).collect()
+    }
+    assert got == want
+    actions = {a for _, _, a in got.values()}
+    assert actions == {"keep", "update", "insert"}

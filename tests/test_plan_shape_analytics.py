@@ -563,3 +563,14 @@ def test_emb_outlier_filter_broadcast_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_sc6_merge_upsert_one_copartitioned_join(spark):
+    """The MERGE dataflow is one key-partitioned FullOuter join — no
+    Python, no nested-loop, snapshot and delta exchange on the same key."""
+    from analytics import relational as R
+
+    p = plan(R.sc6_merge_upsert(spark, SF_TEST))
+    assert "FullOuter" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -2732,3 +2732,65 @@ def corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("clean_hash"),
     )
+
+
+# --- Simpson lexical diversity ------------------------------------------------
+# Corpus-mixture health metric: Simpson's index D = Σ n_i(n_i-1) / (N(N-1))
+# (the probability two tokens drawn without replacement are the same word) —
+# low D = diverse vocabulary, D→1 = degenerate repetition.  Chosen over
+# Shannon entropy ON PURPOSE: entropy needs ln(), whose libm rounding is not
+# pinned across engines, while Simpson is exact-integer up to ONE final
+# correctly-rounded division (the corpus_chi2_drift no-libm discipline).
+@q(
+    "corpus_diversity_simpson",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0),
+    c AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY source, word),
+    s AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS num
+      FROM c GROUP BY source)
+    SELECT source, n_tokens, n_vocab,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             AS simpson
+    FROM s WHERE n_tokens > 1
+    """,
+)
+def corpus_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Simpson lexical diversity: exact integer word counts,
+    exact integer numerator Σ n(n-1), ONE correctly-rounded division per
+    source (no libm surface at all — see module comment).
+
+    Scale shape: explode + (source, word) groupBy partial-aggregates
+    map-side, so the shuffle carries one row per (partition, source,
+    word) — vocabulary-bounded, not token-bounded; the per-source
+    reduction collapses to |sources| rows with a second map-side
+    combine.  The repeated-token pole (a source that is one word 10^9
+    times) combines to a single row per map task before either
+    shuffle."""
+    w = load(spark, sf, "documents").where(F.length("text") > 0).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    c = w.groupBy("source", "word").agg(F.count("*").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("num"),
+    )
+    return s.where(F.col("n_tokens") > 1).select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)),
+            6,
+        ).alias("simpson"),
+    )

@@ -2526,3 +2526,38 @@ def test_sc6_merge_upsert_matches_python(spark):
     assert got == want
     actions = {a for _, _, a in got.values()}
     assert actions == {"keep", "update", "insert"}
+
+
+def test_corpus_diversity_simpson_matches_python(spark):
+    """corpus_diversity_simpson vs a Counter recompute with the identical
+    final-division-then-round formula."""
+    from collections import Counter, defaultdict
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = (
+        load(spark, SF_TEST, "documents")
+        .where("length(text) > 0")
+        .select("source", "text")
+        .collect()
+    )
+    per = defaultdict(Counter)
+    for r in docs:
+        per[r["source"]].update(r["text"].split(" "))
+    want = {}
+    for src, cnt in per.items():
+        n_tok = sum(cnt.values())
+        if n_tok <= 1:
+            continue
+        num = sum(n * (n - 1) for n in cnt.values())
+        want[src] = (
+            n_tok,
+            len(cnt),
+            round(float(num) / (float(n_tok) * (n_tok - 1)), 6),
+        )
+    got = {
+        r["source"]: (r["n_tokens"], r["n_vocab"], r["simpson"])
+        for r in T.corpus_diversity_simpson(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0

@@ -574,3 +574,15 @@ def test_sc6_merge_upsert_one_copartitioned_join(spark):
     assert "FullOuter" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_corpus_diversity_simpson_two_partial_aggs(spark):
+    """Both reductions combine map-side (the repeated-token pole collapses
+    before each shuffle) and the plan stays JVM-side."""
+    from analytics import text as T
+
+    p = plan(T.corpus_diversity_simpson(spark, SF_TEST))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex]

@@ -1925,3 +1925,49 @@ def sc6_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         .alias("action"),
     )
     return m.where(F.col("action") != "delete")
+
+
+# --- A12: FILTER-clause / conditional aggregation ------------------------------
+@q(
+    "a12_filtered_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+                AS BIGINT) AS n_discount_supps,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           FILTER (WHERE l_tax = 0), 0) AS BIGINT)
+             AS taxfree_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_filtered_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """A12: conditional aggregation — the FILTER-clause family (count_if,
+    filtered sum, filtered count distinct) that every report query uses
+    to compute many differently-predicated measures in ONE pass instead
+    of N self-joins.  Money rides the x100 integer grid; coalesce pins
+    the empty-filter sum to 0 on both engines.
+
+    Scale shape: all four measures reduce in a single partial+final hash
+    aggregate over one scan — the whole point of FILTER at 100 TB is
+    that adding a measure adds zero scans and zero shuffles (only the
+    count-distinct expands the partial rows by its distinct key)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.count_distinct(
+            F.when(F.col("l_discount") > 0.05, F.col("l_suppkey"))
+        ).alias("n_discount_supps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_tax") == 0,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("taxfree_cents"),
+    )

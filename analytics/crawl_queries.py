@@ -504,3 +504,131 @@ def bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
     return seenmod.probe_filter(all_keys, blobs, n_parts=8).select(
         "url_hash", "maybe_seen"
     )
+
+
+# --- Crawler-trap host detection ---------------------------------------------
+# The consumer of url_template_topk's rollup: a host whose URL space
+# collapses into one dominant template (calendar pages, faceted search,
+# session-id pagination) is an infinite-URL trap and must get a per-template
+# crawl cap before it eats the frontier.  The synthetic URL space is the
+# url_template_topk one, plus md5-keyed TRAP HOSTS (~1/8) whose paths all
+# come from a date-calendar generator and so collapse to a single
+# 'cal/N/N/N' template — deterministic on both engines.  The trap predicate
+# is the all-integer comparison 100*top_cnt > 60*n_urls (top template covers
+# > 60% of the host's URLs) at n_urls >= 20.
+TRAP_SHARE_PCT = 60
+TRAP_MIN_URLS = 20
+
+
+@q(
+    "crawl_trap_hosts",
+    f"""
+    WITH u AS (
+      SELECT 'host' || lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0') AS host,
+             CASE WHEN CAST(('0x' || substr(md5('host' ||
+                         lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0')),
+                         1, 4)) AS INT) % 8 = 0
+                  THEN 'cal/' || CAST(year(o_orderdate) AS VARCHAR)
+                       || '/' || CAST(month(o_orderdate) AS VARCHAR)
+                       || '/' || CAST(day(o_orderdate) AS VARCHAR)
+                  WHEN o_orderkey % 3 = 0
+                  THEN 'item/' || CAST(o_orderkey AS VARCHAR) || '/view'
+                  WHEN o_orderkey % 3 = 1
+                  THEN 'page/' || CAST(o_orderkey AS VARCHAR)
+                  ELSE 'cat/' || CAST(o_custkey % 11 AS VARCHAR)
+                       || '/page/' || CAST(o_orderkey AS VARCHAR)
+             END AS path
+      FROM orders),
+    t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM u GROUP BY 1, 2),
+    s AS (SELECT host, template, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_urls,
+                 CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+                   AS n_templates,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY cnt DESC, template) AS rk
+          FROM t)
+    SELECT host, n_urls, n_templates,
+           template AS top_template, cnt AS top_cnt,
+           (100 * cnt > {TRAP_SHARE_PCT} * n_urls
+            AND n_urls >= {TRAP_MIN_URLS}) AS is_trap
+    FROM s WHERE rk = 1
+    """,
+)
+def crawl_trap_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Trap-host detector over the mined URL templates: per host, total
+    URLs, distinct templates, the dominant template and its count, and
+    the integer-exact trap flag (see module comment — no float surface
+    anywhere).
+
+    Scale shape: the (host, template) rollup partial-aggregates map-side
+    (token-bounded shuffle), and every window below runs over the
+    ROLLED-UP template rows — bounded by templates-per-host, never by
+    URLs-per-host, so the 10^9-URL calendar trap itself costs one
+    aggregated row.  This is the signal engine/frontier.py's politeness
+    budgets would consume to cap per-template pops."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders")
+    host = F.concat(
+        F.lit("host"), F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")
+    )
+    trap = (
+        F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("int") % 8 == 0
+    )
+    path = (
+        F.when(
+            trap,
+            F.concat(
+                F.lit("cal/"),
+                F.year("o_orderdate").cast("string"),
+                F.lit("/"),
+                F.month("o_orderdate").cast("string"),
+                F.lit("/"),
+                F.dayofmonth("o_orderdate").cast("string"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit("item/"), F.col("o_orderkey").cast("string"), F.lit("/view")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("page/"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cat/"),
+                (F.col("o_custkey") % 11).cast("string"),
+                F.lit("/page/"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+    )
+    t = (
+        o.select(host.alias("host"), path.alias("path"))
+        .select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wh = Window.partitionBy("host")
+    wr = Window.partitionBy("host").orderBy(F.col("cnt").desc(), "template")
+    s = (
+        t.withColumn("n_urls", F.sum("cnt").over(wh))
+        .withColumn("n_templates", F.count("*").over(wh))
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    return s.where(F.col("rk") == 1).select(
+        "host",
+        "n_urls",
+        "n_templates",
+        F.col("template").alias("top_template"),
+        F.col("cnt").alias("top_cnt"),
+        (
+            (100 * F.col("cnt") > TRAP_SHARE_PCT * F.col("n_urls"))
+            & (F.col("n_urls") >= TRAP_MIN_URLS)
+        ).alias("is_trap"),
+    )

@@ -2561,3 +2561,66 @@ def test_corpus_diversity_simpson_matches_python(spark):
         for r in T.corpus_diversity_simpson(spark, SF_TEST).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_crawl_trap_hosts_matches_python(spark):
+    """crawl_trap_hosts vs a Counter recompute; the injected calendar
+    hosts (and only they) must flag as traps at this fixture size."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from analytics import crawl_queries as C
+    from analytics.common import load
+
+    orders = (
+        load(spark, SF_TEST, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    )
+    per = defaultdict(Counter)
+    trap_hosts = set()
+    for r in orders:
+        host = f"host{r['o_custkey'] % 97:02d}"
+        if int(hashlib.md5(host.encode()).hexdigest()[:4], 16) % 8 == 0:
+            trap_hosts.add(host)
+            path = (
+                f"cal/{r['o_orderdate'].year}/{r['o_orderdate'].month}"
+                f"/{r['o_orderdate'].day}"
+            )
+        elif r["o_orderkey"] % 3 == 0:
+            path = f"item/{r['o_orderkey']}/view"
+        elif r["o_orderkey"] % 3 == 1:
+            path = f"page/{r['o_orderkey']}"
+        else:
+            path = f"cat/{r['o_custkey'] % 11}/page/{r['o_orderkey']}"
+        import re
+
+        per[host][re.sub(r"[0-9]+", "N", path)] += 1
+    want = {}
+    for host, cnt in per.items():
+        n_urls = sum(cnt.values())
+        top_template, top_cnt = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        want[host] = (
+            n_urls,
+            len(cnt),
+            top_template,
+            top_cnt,
+            100 * top_cnt > C.TRAP_SHARE_PCT * n_urls
+            and n_urls >= C.TRAP_MIN_URLS,
+        )
+    got = {
+        r["host"]: (
+            r["n_urls"],
+            r["n_templates"],
+            r["top_template"],
+            r["top_cnt"],
+            r["is_trap"],
+        )
+        for r in C.crawl_trap_hosts(spark, SF_TEST).collect()
+    }
+    assert got == want
+    flagged = {h for h, v in got.items() if v[4]}
+    eligible_traps = {h for h in trap_hosts if want[h][0] >= C.TRAP_MIN_URLS}
+    assert flagged == eligible_traps and len(flagged) > 0

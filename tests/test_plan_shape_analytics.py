@@ -586,3 +586,20 @@ def test_corpus_diversity_simpson_two_partial_aggs(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     first_ex = p.index("Exchange")
     assert "HashAggregate" in p[:first_ex]
+
+
+def test_crawl_trap_hosts_windows_over_rollup(spark):
+    """The trap windows rank template rows, not URL rows: the partial agg
+    sits below the first exchange and everything stays JVM-side."""
+    from analytics import crawl_queries as C
+
+    p = plan(C.crawl_trap_hosts(spark, SF_TEST))
+    assert "partial_count" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the rank window gets group-limit pushdown over the rolled-up rows
+    assert "WindowGroupLimit" in p
+    # the (host, template) rollup is partial+final around ONE exchange,
+    # then one more exchange feeds the host windows: exactly 2 total
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2

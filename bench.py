@@ -112,6 +112,12 @@ HEADLINE = (
     "events_attribution",
     "corpus_line_dedup",
     "emb_outlier_filter",
+    # round-5k: executable MERGE dataflow, Simpson diversity, trap hosts,
+    # FILTER-clause aggregation
+    "sc6_merge_upsert",
+    "corpus_diversity_simpson",
+    "crawl_trap_hosts",
+    "a12_filtered_aggs",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

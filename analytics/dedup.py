@@ -699,3 +699,118 @@ def dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2", F.round(F.col("n_common") / union, 4).alias("jaccard"))
         .dropDuplicates(["d1", "d2"])
     )
+
+
+# ------------------------------------------------------ containment detection
+# Broder's CONTAINMENT C(A,B) = |A∩B| / |A| — the asymmetric cousin of
+# resemblance: a syndicated quote page is ~contained in its source but has
+# tiny Jaccard against it, so resemblance dedup misses the pair entirely.
+# The fixture has no syndication, so quote pages are synthesized (md5-keyed
+# ~1/10 of long docs: first CONT_QUOTE_W words + a feed suffix under a
+# shifted doc_id) with byte-identical construction on both engines.
+CONT_QUOTE_W = 24
+CONT_MIN_WORDS = 30
+CONT_THRESHOLD = 0.7
+CONT_ID_OFFSET = 1_000_000_000
+_CONT_SUFFIX = "via our newsfeed syndication read more"
+
+ORACLE["dedup_containment"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + {CONT_ID_OFFSET},
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                                        {CONT_QUOTE_W}), ' ')
+               || ' {_CONT_SUFFIX}'
+      FROM documents
+      WHERE length(text) > 0
+        AND len(string_split(text, ' ')) >= {CONT_MIN_WORDS}
+        AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+              % 10 = 0),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS idx
+          FROM corpus),
+    sh AS (SELECT doc_id,
+                  word || ' ' || lead(word, 1) OVER win || ' '
+                       || lead(word, 2) OVER win AS shingle
+           FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh
+            WHERE shingle IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM shd a JOIN shd b
+                ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2, n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = d1
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONT_THRESHOLD}
+"""
+
+
+@q("dedup_containment")
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment pairs over the trigram inverted index:
+    emit (d1, d2) where ≥ {CONT_THRESHOLD} of d1's distinct shingles
+    appear in d2 — quote/syndication detection that resemblance dedup
+    cannot see (see module comment for the synthesized quote pages).
+
+    Scale shape: identical to dedup_ngram_jaccard's index join — pairs
+    materialize ONLY via shared shingles (never all-pairs), counts
+    partial-aggregate map-side, and the |A| denominator joins from the
+    doc-sized `sizes` table on the d1 key.  The direction-doubling
+    (a != b instead of a < b) doubles candidate rows, not asymptotics;
+    stop-shingle capping would bound hot shingles at web scale exactly
+    as in dedup_prefix_jaccard."""
+    d = load_spread(spark, sf, "documents").where(F.length("text") > 0)
+    words = F.split("text", " ")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    quotes = d.where(
+        (F.size(words) >= CONT_MIN_WORDS) & (h16 % 10 == 0)
+    ).select(
+        (F.col("doc_id") + CONT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(words, 1, CONT_QUOTE_W), " "),
+            F.lit(" " + _CONT_SUFFIX),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(quotes)
+    cw = F.split("text", " ")
+    n = F.size(cw)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(cw, i),
+            F.element_at(cw, i + 1),
+            F.element_at(cw, i + 2),
+        ),
+    )
+    shd = (
+        corpus.where(n >= 3)
+        .select("doc_id", F.array_distinct(tri).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("n_common").cast("double") / F.col("sa.n")
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .where(cont >= CONT_THRESHOLD)
+        .select("d1", "d2", "n_common", F.round(cont, 4).alias("containment"))
+    )

@@ -2624,3 +2624,58 @@ def test_crawl_trap_hosts_matches_python(spark):
     flagged = {h for h, v in got.items() if v[4]}
     eligible_traps = {h for h in trap_hosts if want[h][0] >= C.TRAP_MIN_URLS}
     assert flagged == eligible_traps and len(flagged) > 0
+
+
+def test_dedup_containment_matches_python(spark):
+    """dedup_containment vs a set-based recompute; every synthesized quote
+    page must be detected as contained in its source doc."""
+    import hashlib
+
+    from analytics import dedup as D
+    from analytics.common import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST, "documents")
+        .where("length(text) > 0")
+        .collect()
+    }
+    corpus = dict(docs)
+    quote_ids = set()
+    for doc_id, text in docs.items():
+        ws = text.split(" ")
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        if len(ws) >= D.CONT_MIN_WORDS and h % 10 == 0:
+            qid = doc_id + D.CONT_ID_OFFSET
+            corpus[qid] = (
+                " ".join(ws[: D.CONT_QUOTE_W]) + " " + D._CONT_SUFFIX
+            )
+            quote_ids.add(qid)
+    sh = {
+        did: {
+            " ".join(ws[i : i + 3])
+            for ws in [t.split(" ")]
+            for i in range(len(ws) - 2)
+        }
+        for did, t in corpus.items()
+        if len(t.split(" ")) >= 3
+    }
+    want = {}
+    ids = list(sh)
+    # quadratic python recompute is fine at sf0.001 corpus size
+    for d1 in ids:
+        for d2 in ids:
+            if d1 == d2:
+                continue
+            nc = len(sh[d1] & sh[d2])
+            if nc and nc / len(sh[d1]) >= D.CONT_THRESHOLD:
+                want[(d1, d2)] = (nc, round(nc / len(sh[d1]), 4))
+    got = {
+        (r["d1"], r["d2"]): (r["n_common"], r["containment"])
+        for r in D.dedup_containment(spark, SF_TEST).collect()
+    }
+    assert got == want and len(got) > 0
+    detected_quotes = {
+        d1 for (d1, d2) in got if d1 in quote_ids and d2 == d1 - D.CONT_ID_OFFSET
+    }
+    assert detected_quotes == quote_ids and len(quote_ids) > 0

@@ -603,3 +603,15 @@ def test_crawl_trap_hosts_windows_over_rollup(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_dedup_containment_index_join_partial_agg(spark):
+    """Candidate pairs come from the shingle-equality index join with a
+    map-side partial count; no Python, no nested-loop all-pairs."""
+    from analytics import dedup as D
+
+    spark.catalog.clearCache()
+    p = plan(D.dedup_containment(spark, SF_TEST))
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

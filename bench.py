@@ -118,6 +118,8 @@ HEADLINE = (
     "corpus_diversity_simpson",
     "crawl_trap_hosts",
     "a12_filtered_aggs",
+    # round-5l: asymmetric containment detection
+    "dedup_containment",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -560,3 +560,96 @@ def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.sum("vc").alias("revenue_cents"),
     )
+
+
+# --- Robust MAD outliers ------------------------------------------------------
+# Median-absolute-deviation outliers — the robust cousin of
+# events_zscore_outliers: mean/std are dragged by the very outliers they
+# hunt, median/MAD are not.  Everything stays integer-exact on both engines
+# by carrying DOUBLED medians: on the x100 grid, 2*median(ints) =
+# lower-middle + upper-middle (an exact BIGINT whatever the parity of n),
+# so dev2 = |2v - med2| and mad4 = 2*median(dev2) are exact, and the
+# standard dev > 3*MAD flag becomes the integer comparison
+# 2*dev2 > 3*mad4.  (The 1.4826 normal-consistency constant is omitted —
+# it only rescales the threshold, which is calibrated directly.)
+MAD_K_NUM, MAD_K_DEN = 3, 1  # flag when dev > 3 * MAD
+
+
+def _hist_med2(df, key: str, val: str, out: str):
+    """2*median(val) per key via the corpus_token_stats histogram device:
+    ONE partial-agg histogram shuffle, windows over histogram rows
+    (value-cardinality-bounded, never row-bounded), min-conditional pick
+    of the two middle elements.  No per-key sort of raw rows exists in
+    the plan — the one-task-per-key pole is designed out."""
+    hist = df.groupBy(key, val).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy(key)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(key)
+    h = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    k1 = F.floor((F.col("n") + 1) / 2)
+    k2 = F.floor((F.col("n") + 2) / 2)
+    return h.groupBy(key).agg(
+        (
+            F.min(F.when(F.col("cum") >= k1, F.col(val)))
+            + F.min(F.when(F.col("cum") >= k2, F.col(val)))
+        ).alias(out)
+    )
+
+
+@q(
+    "events_mad_outliers",
+    f"""
+    WITH b AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    m AS (SELECT event_type, CAST(2 * median(v) AS BIGINT) AS med2
+          FROM b GROUP BY event_type),
+    d AS (SELECT b.event_id, b.event_type, b.v,
+                 abs(2 * b.v - m.med2) AS dev2, m.med2
+          FROM b JOIN m USING (event_type)),
+    md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+           FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.v, d.med2, d.dev2, md.mad4,
+           (2 * d.dev2 > {MAD_K_NUM} * md.mad4) AS is_outlier
+    FROM d JOIN md USING (event_type)
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-event-type outlier flags via doubled-median MAD (see
+    module comment — the entire computation is BIGINT-exact; the DuckDB
+    twin's 2*median(int) is exactly lower+upper middle, the same value
+    the histogram device picks).
+
+    Scale shape: TWO histogram median passes (value grid is
+    cardinality-bounded, windows run over histogram rows) + two
+    broadcast joins of |event_type|-sized tables onto the stream scan —
+    no global sort, no per-type sort of raw rows, no Python.  This is
+    the corpus_token_stats percentile shape applied twice."""
+    b = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = _hist_med2(b, "event_type", "v", "med2")
+    d = b.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "v",
+        F.abs(2 * F.col("v") - F.col("med2")).alias("dev2"),
+        "med2",
+    )
+    md = _hist_med2(d, "event_type", "dev2", "mad4")
+    return d.join(F.broadcast(md), "event_type").select(
+        "event_id",
+        "event_type",
+        "v",
+        "med2",
+        "dev2",
+        "mad4",
+        (2 * F.col("dev2") > MAD_K_NUM * F.col("mad4")).alias("is_outlier"),
+    )

@@ -2679,3 +2679,56 @@ def test_dedup_containment_matches_python(spark):
         d1 for (d1, d2) in got if d1 in quote_ids and d2 == d1 - D.CONT_ID_OFFSET
     }
     assert detected_quotes == quote_ids and len(quote_ids) > 0
+
+
+def test_events_mad_outliers_matches_python(spark):
+    """events_mad_outliers vs a statistics-free python recompute using the
+    doubled-median identity (2*median = lower middle + upper middle)."""
+    from collections import defaultdict
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "events")
+        .selectExpr("event_id", "event_type", "cast(round(value*100) as long) as v")
+        .collect()
+    )
+
+    def med2(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n - 1) // 2] + s[n // 2]
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r["v"])
+    m2 = {t: med2(v) for t, v in by_type.items()}
+    dev = {t: [abs(2 * v - m2[t]) for v in vs] for t, vs in by_type.items()}
+    mad4 = {t: med2(d) for t, d in dev.items()}
+    want = {}
+    for r in rows:
+        t = r["event_type"]
+        d2 = abs(2 * r["v"] - m2[t])
+        want[r["event_id"]] = (
+            t,
+            r["v"],
+            m2[t],
+            d2,
+            mad4[t],
+            2 * d2 > E.MAD_K_NUM * mad4[t],
+        )
+    got = {
+        r["event_id"]: (
+            r["event_type"],
+            r["v"],
+            r["med2"],
+            r["dev2"],
+            r["mad4"],
+            r["is_outlier"],
+        )
+        for r in E.events_mad_outliers(spark, SF_TEST).collect()
+    }
+    assert got == want
+    n_out = sum(1 for v in got.values() if v[5])
+    assert 0 < n_out < len(got)

@@ -615,3 +615,16 @@ def test_dedup_containment_index_join_partial_agg(spark):
     assert "partial_count" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_events_mad_outliers_histogram_broadcast_shape(spark):
+    """Both median passes ride histograms (no per-type sort of raw rows —
+    the Sort nodes only order histogram rows AFTER a partial agg) and the
+    |event_type|-sized median tables broadcast onto the stream scan."""
+    from analytics import events as E
+
+    p = plan(E.events_mad_outliers(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -1971,3 +1971,58 @@ def a12_filtered_aggs(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("taxfree_cents"),
     )
+
+
+# --- SC12: schema-evolution read (mergeSchema) ---------------------------------
+@q(
+    "sc12_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT event_id, event_type, CAST(NULL AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 2 = 0),
+    v2 AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(value_cents) AS BIGINT) AS n_with_value,
+           CAST(coalesce(sum(value_cents), 0) AS BIGINT) AS total_cents
+    FROM u GROUP BY event_type
+    """,
+)
+def sc12_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """SC12: schema-evolution read — a table whose early files predate a
+    column (v1: event_id, event_type) and whose later files carry it
+    (v2: + value_cents) is read as ONE dataset via
+    ``mergeSchema=true``; missing columns surface as NULLs.  This is the
+    append-only evolution every long-lived lakehouse table goes through
+    (the crawl frontier's own lineage columns were added the same way).
+
+    Scale shape: schema merge is a FILE-FOOTER operation — the read
+    unions per-file schemas at planning time, no data rewrite, no
+    shuffle beyond the report agg's partial+final pass; at 100 TB the
+    alternative (rewriting every historical file to add a NULL column)
+    is exactly what this avoids."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_schevo_{tag}"
+    e = load(spark, sf, "events")
+    v1 = e.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/v1")
+    v2.write.mode("overwrite").parquet(f"{base}/v2")
+    u = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/v1", f"{base}/v2"
+    )
+    return u.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count("value_cents").alias("n_with_value"),
+        F.coalesce(F.sum("value_cents"), F.lit(0).cast("long")).alias(
+            "total_cents"
+        ),
+    )

@@ -118,8 +118,11 @@ HEADLINE = (
     "corpus_diversity_simpson",
     "crawl_trap_hosts",
     "a12_filtered_aggs",
-    # round-5l: asymmetric containment detection
+    # round-5l: asymmetric containment detection, robust MAD outliers,
+    # schema-evolution read
     "dedup_containment",
+    "events_mad_outliers",
+    "sc12_schema_evolution",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

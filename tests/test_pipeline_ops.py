@@ -2732,3 +2732,33 @@ def test_events_mad_outliers_matches_python(spark):
     assert got == want
     n_out = sum(1 for v in got.values() if v[5])
     assert 0 < n_out < len(got)
+
+
+def test_sc12_schema_evolution_merges_and_nulls(spark):
+    """The merged read surfaces the unified schema, NULLs the missing
+    column for v1 rows, and the report matches a python recompute."""
+    from collections import defaultdict
+
+    from analytics import relational as R
+    from analytics.common import load
+
+    rows = load(spark, SF_TEST, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        a = agg[r["event_type"]]
+        a[0] += 1
+        if r["event_id"] % 2 == 1:
+            a[1] += 1
+            a[2] += round(r["value"] * 100)
+    df = R.sc12_schema_evolution(spark, SF_TEST)
+    assert set(df.columns) == {"event_type", "n_total", "n_with_value", "total_cents"}
+    got = {
+        r["event_type"]: (r["n_total"], r["n_with_value"], r["total_cents"])
+        for r in df.collect()
+    }
+    want = {t: tuple(a) for t, a in agg.items()}
+    assert got == want
+    # every type has both schema generations in the fixture
+    assert all(0 < v[1] < v[0] for v in got.values())

@@ -2026,3 +2026,44 @@ def sc12_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# --- A13: exact distinct via bitmap aggregation --------------------------------
+@q(
+    "a13_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a13_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A13: EXACT distinct counting via the two-level bitmap sketch —
+    ``bitmap_construct_agg`` packs each key's presence into fixed 4 KB
+    bucket bitmaps, so the shuffle carries one bitmap per
+    (group, bucket) instead of one row per distinct raw value, and the
+    final count sums ``bitmap_count`` over buckets.  Exactness means the
+    DuckDB twin is plain COUNT(DISTINCT) — same numbers, different
+    physical strategy.
+
+    Scale shape vs A2 (expand-based distinct): at 10^10 orders a hot
+    group's distinct custkeys shuffle as dense integer-indexed bitmaps
+    (32 K keys per 4 KB bucket) with map-side OR-combine, a fixed-size
+    partial no matter how many duplicate occurrences exist — the
+    classic exact-distinct answer when approx (A3 HLL) is not
+    acceptable and the key domain is integer-dense."""
+    o = load(spark, sf, "orders")
+    b = o.select(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bk"),
+        F.bitmap_bit_position("o_custkey").alias("bp"),
+    )
+    per_bucket = b.groupBy("o_orderpriority", "bk").agg(
+        F.bitmap_construct_agg("bp").alias("bm"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_custs"),
+        F.sum("n_rows").alias("n_orders"),
+    )

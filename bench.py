@@ -123,6 +123,7 @@ HEADLINE = (
     "dedup_containment",
     "events_mad_outliers",
     "sc12_schema_evolution",
+    "a13_bitmap_distinct",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -628,3 +628,14 @@ def test_events_mad_outliers_histogram_broadcast_shape(spark):
     assert "SortMergeJoin" not in p
     assert "partial_count" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_a13_bitmap_distinct_no_expand(spark):
+    """The bitmap strategy must NOT fall back to the Expand-based distinct
+    rewrite: fixed-size bitmap partials combine map-side instead."""
+    from analytics import relational as R
+
+    p = plan(R.a13_bitmap_distinct(spark, SF_TEST))
+    assert "bitmap_construct_agg" in p
+    assert "Expand" not in p
+    assert "partial_" in p.lower()

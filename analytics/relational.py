@@ -2067,3 +2067,58 @@ def a13_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_custs"),
         F.sum("n_rows").alias("n_orders"),
     )
+
+
+# --- PF6: dynamic partition pruning --------------------------------------------
+DPP_TYPES = ("purchase", "signup")
+
+
+@q(
+    "pf6_dynamic_partition_pruning",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type IN ('{DPP_TYPES[0]}', '{DPP_TYPES[1]}')),
+    f AS (SELECT e.event_type,
+                 CAST(round(e.value * 100) AS BIGINT) AS vc
+          FROM events e JOIN dim USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS BIGINT) AS total_cents
+    FROM f GROUP BY event_type
+    """,
+)
+def pf6_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """PF6: dynamic partition pruning — the fact side is written
+    partitioned by event_type (the star-schema layout), the dim side is
+    filtered at runtime, and Catalyst injects a dynamicpruning subquery
+    into the fact scan's PartitionFilters so unselected partitions are
+    never read (plan-pinned by tests/test_plan_shape_analytics.py).
+
+    Scale shape: THE star-join enabler at 100 TB — a static filter can
+    only prune partitions named in the query text; DPP prunes on values
+    discovered from the dim at runtime, turning a full fact scan into a
+    2-of-5-partition scan here (and a 0.1% scan on a real date-keyed
+    fact).  x100 integer money keeps the agg exact."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/spider_dpp_{tag}"
+    import os
+
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        load(spark, sf, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        ).write.mode("overwrite").partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        load(spark, sf, "events")
+        .select("event_type")
+        .where(F.col("event_type").isin(*DPP_TYPES))
+        .distinct()
+    )
+    f = fact.join(dim, "event_type")
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("total_cents"),
+    )

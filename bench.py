@@ -124,6 +124,7 @@ HEADLINE = (
     "events_mad_outliers",
     "sc12_schema_evolution",
     "a13_bitmap_distinct",
+    "pf6_dynamic_partition_pruning",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

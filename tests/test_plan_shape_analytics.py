@@ -639,3 +639,15 @@ def test_a13_bitmap_distinct_no_expand(spark):
     assert "bitmap_construct_agg" in p
     assert "Expand" not in p
     assert "partial_" in p.lower()
+
+
+def test_pf6_dpp_prunes_fact_partitions(spark):
+    """The fact scan's PartitionFilters must carry BOTH the inferred
+    static IN-filter and the runtime dynamicpruning subquery."""
+    from analytics import relational as R
+
+    p = plan(R.pf6_dynamic_partition_pruning(spark, SF_TEST))
+    assert "dynamicpruningexpression" in p
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1][:300]
+    assert "event_type" in pf

@@ -83,6 +83,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      j4_left_anti_join, j1_broadcast_join, j2_shuffle_join_agg
 #      (frontier_merge and st5 additionally carry cell-merge /
 #      stream==batch pytest suites).
+#   2. The round-5j/5k/5l/5m ops (link_cocitation_topk through
+#      pf6_dynamic_partition_pruning) stay OUT of the window under the
+#      same rationale as the 5g/5h cuts: each carries a same-day local
+#      check_parity oracle pass at sf0.01 (the 154+13-query full-mirror
+#      run in SURVEY's closing status), a python/numpy recompute pytest,
+#      and a plan-shape pin — the strongest derived evidence class —
+#      while the 50 in-window slots stay with the ops whose ONLY
+#      evidence would otherwise be that derived class.
 _FRONT = (
     # 0. r04 driver row INVALIDATED by the r05 epoch-floor oracle fix —
     #    must re-evidence, so it leads the window

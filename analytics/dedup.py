@@ -752,7 +752,7 @@ ORACLE["dedup_containment"] = f"""
 @q("dedup_containment")
 def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment pairs over the trigram inverted index:
-    emit (d1, d2) where ≥ {CONT_THRESHOLD} of d1's distinct shingles
+    emit (d1, d2) where ≥ 0.7 (CONT_THRESHOLD) of d1's distinct shingles
     appear in d2 — quote/syndication detection that resemblance dedup
     cannot see (see module comment for the synthesized quote pages).
 

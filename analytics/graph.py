@@ -753,21 +753,21 @@ _COCITE_SQL = f"""
 @q("link_cocitation_topk", _COCITE_SQL)
 def link_cocitation_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Related pages by co-citation: for every page ``a``, the top
-    {COCITE_TOPK} pages ``b`` most often linked FROM THE SAME SOURCE as
+    10 (COCITE_TOPK) pages ``b`` most often linked FROM THE SAME SOURCE as
     ``a`` (common in-link count), ties broken by page id.  Edges are the
     deterministic lineitem graph shared with link_pagerank.
 
     Scale shape: the pair generation is an inverted-index self-join keyed
     on src, and its cost is Σ deg(src)² — unbounded at web scale (one
     directory hub = 10^10 pairs).  The defense is the deterministic
-    per-source outlink cap: a src-keyed window keeps the {COCITE_CAP}
+    per-source outlink cap: a src-keyed window keeps the 32 (COCITE_CAP)
     lowest dsts per source BEFORE the self-join, bounding the blow-up at
-    |sources| × {COCITE_CAP}² regardless of hub degree (the sampling
+    |sources| × CAP² regardless of hub degree (the sampling
     device of production related-pages and of dedup_prefix_jaccard's
     prefix filter).  The window and the self-join share the src hash
     partitioning, so the join adds no exchange beyond the window's own;
     pair counts partial-aggregate map-side, and the final per-page top-k
-    window ranks at most |pages| × {COCITE_CAP} candidate rows with
+    window ranks at most |pages| × CAP candidate rows with
     WindowGroupLimit pushdown.  Counts are exact integers — no float
     parity surface."""
     li = load(spark, sf, "lineitem")

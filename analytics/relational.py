@@ -2102,14 +2102,14 @@ def pf6_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     fact).  x100 integer money keeps the agg exact."""
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     base = f"/tmp/spider_dpp_{tag}"
-    import os
-
-    if not os.path.exists(f"{base}/_SUCCESS"):
-        load(spark, sf, "events").select(
-            "event_id",
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("vc"),
-        ).write.mode("overwrite").partitionBy("event_type").parquet(base)
+    # unconditional overwrite, like every /tmp-writing sibling (sc9-sc12):
+    # a marker-file skip would silently reuse a stale fact when the
+    # fixture under the same leaf name changes
+    load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).write.mode("overwrite").partitionBy("event_type").parquet(base)
     fact = spark.read.parquet(base)
     dim = (
         load(spark, sf, "events")

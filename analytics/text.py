@@ -2591,9 +2591,9 @@ def text_normalize_nfc(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
-
-        return s.map(lambda t: unicodedata.normalize("NFC", t))
+        # .str.normalize is NA-safe: a NULL text row flows through as NULL
+        # (matching DuckDB's nfc_normalize(NULL)) instead of raising in map
+        return s.str.normalize("NFC")
 
     n = d.select("doc_id", aug.alias("t")).withColumn("norm", nfc("t"))
     return n.select(

@@ -123,6 +123,7 @@ HEADLINE = (
     "dedup_containment",
     "events_mad_outliers",
     "sc12_schema_evolution",
+    # round-5m: bitmap-sketch exact distinct, dynamic partition pruning
     "a13_bitmap_distinct",
     "pf6_dynamic_partition_pruning",
 )

@@ -145,7 +145,8 @@ def events_markov(spark: SparkSession, sf: str) -> DataFrame:
     a AS (SELECT user_id, count(*) AS n, sum(vc) AS s, sum(vc * vc) AS q
           FROM b GROUP BY user_id)
     SELECT event_id,
-           CAST(CAST(n * vc - s AS HUGEINT) * (n * vc - s)
+           CAST((CAST(n AS HUGEINT) * vc - s)
+                  * (CAST(n AS HUGEINT) * vc - s)
                 > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
                 AS INT) AS is_outlier
     FROM b JOIN a USING (user_id)
@@ -176,7 +177,9 @@ def events_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("vc") * F.col("vc")).alias("q"),
     )
     dec = "decimal(38,0)"
-    lhs_base = (F.col("n") * F.col("vc") - F.col("s")).cast(dec)
+    # widen BEFORE the multiply: n*vc in 64-bit would silently wrap in
+    # Spark (and raise in DuckDB) once n*vc exceeds 2^63 at scale
+    lhs_base = F.col("n").cast(dec) * F.col("vc").cast(dec) - F.col("s").cast(dec)
     rhs = 4 * (
         F.col("n").cast(dec) * F.col("q").cast(dec)
         - F.col("s").cast(dec) * F.col("s").cast(dec)
@@ -337,7 +340,10 @@ def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
              (a.q - a.s * a.s / a.n) / (a.n - 1) AS var_a,
              (c.q - c.s * c.s / c.n) / (c.n - 1) AS var_b
       FROM m a JOIN m c ON a.event_type = c.event_type
-      WHERE a.v = 0 AND c.v = 1)
+      -- n > 1 per variant: var is undefined at n = 1 and the engines'
+      -- 0/0 disagree (Spark NULL vs DuckDB NaN, and DuckDB orders NaN
+      -- above 1.96) — the test has no meaning there anyway
+      WHERE a.v = 0 AND c.v = 1 AND a.n > 1 AND c.n > 1)
     SELECT event_type, n_a, n_b,
            round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
            round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4)
@@ -388,7 +394,8 @@ def events_ab_ttest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s").alias("s_b"),
         F.col("q").alias("q_b"),
     )
-    j = a.join(c, "event_type")
+    # n > 1 per variant — mirrors the oracle's guard (see SQL comment)
+    j = a.join(c, "event_type").where((F.col("n_a") > 1) & (F.col("n_b") > 1))
     mean_a = F.col("s_a") / F.col("n_a")
     mean_b = F.col("s_b") / F.col("n_b")
     var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (

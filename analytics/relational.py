@@ -1614,14 +1614,28 @@ def scd2_order_history(spark: SparkSession, sf: str) -> DataFrame:
     production SCD2 MERGE already maintains; no skew (keys are unique per
     snapshot, runs are bounded by the snapshot count)."""
     o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    v1 = o.withColumn("version", F.lit(1))
     flip = F.col("o_orderkey") % 7 == 0
+    # single round over the RAW value, exactly as the oracle writes it:
+    # round(round(x,2)+100, 2) is a double-rounding that can differ by
+    # 0.01 from round(x+100, 2) near an x.xx5 boundary
+    flip_price = F.round(
+        F.when(flip, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+        2,
+    )
+    v1 = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit(1).alias("version"),
+    )
     v2 = o.select(
         "o_orderkey",
         F.when(flip, "X").otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
-        F.round(F.when(flip, F.col("price") + 100).otherwise(F.col("price")), 2).alias("price"),
+        flip_price.alias("price"),
         F.lit(2).alias("version"),
     )
     v3 = o.select(
@@ -1630,7 +1644,7 @@ def scd2_order_history(spark: SparkSession, sf: str) -> DataFrame:
         .when(flip, "X")
         .otherwise(F.col("o_orderstatus"))
         .alias("o_orderstatus"),
-        F.round(F.when(flip, F.col("price") + 100).otherwise(F.col("price")), 2).alias("price"),
+        flip_price.alias("price"),
         F.lit(3).alias("version"),
     )
     snaps = v1.unionByName(v2).unionByName(v3)

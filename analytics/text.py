@@ -1536,9 +1536,16 @@ def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
       phase 3: exact-score the survivors with the IDENTICAL arithmetic
         tree (_bm25_exact) and rank.
 
-    LOSSLESS by the θ ≤ true-kth argument: any true top-k doc has exact
-    score ≥ true kth ≥ θ and Σ ub ≥ exact score, so it always survives;
-    if the conjunctive set has < k docs θ falls back to -∞ (no pruning).
+    LOSSLESS by the θ ≤ true-kth argument ON THE ROUNDED GRID: the final
+    ranking orders by (round(score, 6) DESC, doc_id), so θ and the prune
+    comparison both round to 6 decimals too — round is monotone, so for
+    any doc in the rounded top-k (including doc_id tie-breaks at the
+    boundary): round(Σ ub) ≥ round(score) ≥ round(true kth) ≥
+    round(conj kth) = θ, and it always survives.  (An unrounded θ would
+    NOT be lossless: a doc with unrounded score just below θ can round
+    equal to the k-th and win the doc_id tie-break in the exhaustive
+    ranking — the rounded grid closes that boundary case.)  If the
+    conjunctive set has < k docs θ falls back to -∞ (no pruning).
     tests/test_pipeline_ops.py pins result == index_bm25_topk AND that
     the prune genuinely discards documents on the fixture.
 
@@ -1564,7 +1571,7 @@ def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
     theta = (
         conj_scores.orderBy(F.col("score").desc())
         .limit(BM25_TOPK)
-        .agg(F.min("score").alias("kth"), F.count("*").alias("m"))
+        .agg(F.min(F.round("score", 6)).alias("kth"), F.count("*").alias("m"))
         .select(
             F.when(F.col("m") == BM25_TOPK, F.col("kth"))
             .otherwise(F.lit(float("-inf")))
@@ -1580,7 +1587,7 @@ def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("ub").alias("max_possible"))
         .crossJoin(F.broadcast(theta))
-        .where(F.col("max_possible") >= F.col("theta"))
+        .where(F.round("max_possible", 6) >= F.col("theta"))
         .select("doc_id")
     )
     # phase 3: exact scores for survivors only
@@ -2280,7 +2287,9 @@ def doc_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
 WIN_K = 4  # words per shingle
 WIN_W = 5  # hashes per winnowing window
 
-# order-insensitive 63-bit shingle hash both engines can compute: md5 hex -> int
+# order-insensitive 32-bit shingle hash both engines can compute (8 md5 hex
+# digits -> int; birthday bound ~77k distinct shingles per corpus slice —
+# fine at fixture scale, widen the substr for larger corpora)
 _WIN_HASH_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
 ORACLE["doc_winnow_fingerprint"] = f"""
@@ -2406,9 +2415,10 @@ def corpus_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     vocab(prefix t) = #{words whose FIRST occurrence doc <= t}, and
     first occurrence is just min(doc_id) per word — one hash agg.  The
     curve is then a cumulative sum over GROWTH_BUCKETS bucket counts
-    (bounded — never a corpus-length running window).  ZERO floats:
-    bucket = doc_id*B/(max+1) in exact integer arithmetic, outputs are
-    counts.
+    (bounded — never a corpus-length running window).  Outputs are exact
+    counts; the only float is the shared IEEE bucket quotient
+    floor(doc_id*B/(max+1)) — identical double division in both engines
+    (exact while doc_id*B < 2^53; widen to decimal beyond that).
 
     Scale shape: one map-side-combined (word, min) agg — the shuffle is
     vocabulary-sized, not token-sized; the bucket rollup and the

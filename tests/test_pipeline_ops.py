@@ -4,6 +4,8 @@ multimodal) beyond driver parity: recall guarantees and determinism.
 
 from __future__ import annotations
 
+from datetime import timezone as _timezone  # NTZ fixtures are UTC wall-clock
+
 from pyspark.sql import functions as F
 
 from analytics import dedup, multimodal, similarity
@@ -1331,7 +1333,7 @@ def test_events_skyline_matches_bruteforce(spark):
     rows = load(spark, SF_TEST, "events").select("ts", "value").collect()
     pts = {}
     for r in rows:
-        t = int(r["ts"].replace(tzinfo=None).timestamp() * 1_000_000)
+        t = int(r["ts"].replace(tzinfo=_timezone.utc).timestamp() * 1_000_000)
         # python round is banker's but value*100 never lands exactly on .5
         # for these doubles the engines and python see identically
         vc = int(round(r["value"] * 100))
@@ -1358,7 +1360,7 @@ def test_events_markov_matches_python(spark):
     rows = load(spark, SF_TEST, "events").collect()
     seqs = defaultdict(list)
     for r in rows:
-        s = int(r["ts"].replace(tzinfo=None).timestamp())  # floor: ts >= epoch
+        s = int(r["ts"].replace(tzinfo=_timezone.utc).timestamp())  # floor: ts >= epoch
         seqs[r["user_id"]].append((s, r["event_id"], r["event_type"]))
     cnt = Counter()
     for u in seqs:
@@ -1533,7 +1535,7 @@ def test_sessionize_matches_python(spark):
     rows = load(spark, SF_TEST, "events").collect()
     per = defaultdict(list)
     for r in rows:
-        s = int(r["ts"].replace(tzinfo=None).timestamp())
+        s = int(r["ts"].replace(tzinfo=_timezone.utc).timestamp())
         per[r["user_id"]].append((s, r["event_id"]))
     want = {}
     for u, seq in per.items():
@@ -1568,7 +1570,7 @@ def test_retention_cohorts_matches_python(spark):
     weeks = defaultdict(set)
     for r in rows:
         weeks[r["user_id"]].add(
-            int(r["ts"].replace(tzinfo=None).timestamp()) // E.WEEK_S
+            int(r["ts"].replace(tzinfo=_timezone.utc).timestamp()) // E.WEEK_S
         )
     cells = defaultdict(set)
     for u, ws in weeks.items():
@@ -2209,7 +2211,7 @@ def test_events_stickiness_matches_sequential_windows(spark):
     )
     active: dict[int, set] = {}
     for r in rows:
-        day = int(r["ts"].timestamp()) // 86400
+        day = int(r["ts"].replace(tzinfo=_timezone.utc).timestamp()) // 86400
         active.setdefault(day, set()).add(r["user_id"])
     want = {}
     for d in active:

@@ -1,4 +1,4 @@
-"""Structured Streaming surface (SURVEY.md §2.2 ST1-ST8).
+"""Structured Streaming surface (SURVEY.md §2.2 ST1-ST9).
 
 The crawl engine's production loop is *epoch-batch* by spec
 (BASELINE.json:6 "Each scheduling epoch is a batch job") — state lives in
@@ -35,6 +35,7 @@ from typing import Any, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -190,13 +191,13 @@ HOST_TYPE_SCHEMA = StructType(
 )
 
 
-class _HostTypeCounts:
+class _HostTypeCounts(StatefulProcessor):
     """ST9 StatefulProcessor body: per-host MapState[event_type -> count].
 
-    Defined as a plain class and grafted onto StatefulProcessor lazily in
-    host_type_counts_tws — subclassing at import time is safe, but keeping
-    the processor construction inside the gated function keeps this module
-    importable and behaviour-identical whether or not protobuf exists.
+    Subclasses StatefulProcessor directly — importing the base class needs
+    no protobuf (verified in this container); only *starting* a
+    transformWithStateInPandas query does, which is what tws_available()
+    gates.
 
     vs ST6b (host_budget_state): same politeness-bookkeeping semantics,
     but on the v2 API — typed per-key MapState replaces the single packed
@@ -205,24 +206,39 @@ class _HostTypeCounts:
     state backend + changelog checkpointing come for free).  Emission is
     order-independent (running totals, not admitted rows), so the final
     update per (host, event_type) equals the batch groupBy count however
-    micro-batches split.
+    micro-batches split — including the NULL event_type group, which the
+    batch groupBy emits and which therefore gets its own ValueState here
+    (MapState keys are schema-typed non-null; value_counts(dropna=False)
+    would also hand NaN keys to the state server, so the null bucket is
+    counted via isna() and kept out of the map).
     """
 
     def init(self, handle: Any) -> None:
         self.counts = handle.getMapState("counts", "event_type STRING", "n LONG")
+        self.null_count = handle.getValueState("null_n", "n LONG")
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
         batch: dict[str, int] = {}
+        null_n = 0
         for pdf in rows:
-            for t, n in pdf["event_type"].value_counts().items():
+            col = pdf["event_type"]
+            null_n += int(col.isna().sum())
+            for t, n in col.value_counts().items():
                 batch[t] = batch.get(t, 0) + int(n)
-        totals = {}
+        totals: dict[str | None, int] = {}
         for t, n in batch.items():
-            prev = self.counts.getValue((t,))[0] if self.counts.containsKey((t,)) else 0
-            totals[t] = prev + n
+            # one state-server round trip per key: getValue returns None
+            # for a missing key, so no containsKey pre-probe
+            v = self.counts.getValue((t,))
+            totals[t] = (int(v[0]) if v is not None else 0) + n
             self.counts.updateValue((t,), (totals[t],))
+        if null_n:
+            v = self.null_count.get()
+            tot = (int(v[0]) if v is not None else 0) + null_n
+            self.null_count.update((tot,))
+            totals[None] = tot
         yield pd.DataFrame(
             {
                 "host": [key[0]] * len(totals),
@@ -239,11 +255,8 @@ def host_type_counts_tws(rows: DataFrame, host_col: str = "host") -> DataFrame:
     """ST9: the modern (Spark 4, SPARK-49564 "arbitrary state v2")
     stateful operator — transformWithStateInPandas with typed MapState.
     Call tws_available() first; see module docstring for the gate."""
-    from pyspark.sql.streaming import StatefulProcessor
-
-    proc_cls = type("HostTypeCounts", (_HostTypeCounts, StatefulProcessor), {})
     return rows.groupBy(host_col).transformWithStateInPandas(
-        proc_cls(),
+        _HostTypeCounts(),
         outputStructType=HOST_TYPE_SCHEMA,
         outputMode="Update",
         timeMode="None",

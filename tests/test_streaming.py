@@ -174,3 +174,72 @@ def test_st9_transform_with_state_gate_and_parity(spark, events_batch):
         .collect()
     }
     assert final == expect
+
+
+def test_st9_processor_logic_with_fake_state():
+    """ST9 handleInputRows semantics, protobuf-free: drive the processor
+    with a dict-backed fake state handle and assert the final update per
+    (event_type) — INCLUDING the NULL group, which the batch groupBy twin
+    emits and which value_counts() would silently drop (r05 review) —
+    equals a plain Counter over the same rows, across a micro-batch split.
+    """
+    import pandas as pd
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+            self.get_calls = 0
+
+        def getValue(self, key):
+            self.get_calls += 1
+            return self.d.get(key)
+
+        def containsKey(self, key):  # pragma: no cover - must stay unused
+            raise AssertionError("containsKey pre-probe: 2x round trips")
+
+        def updateValue(self, key, value):
+            self.d[key] = value
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, value):
+            self.v = value
+
+    class FakeHandle:
+        def __init__(self):
+            self.map = FakeMapState()
+            self.val = FakeValueState()
+
+        def getMapState(self, name, ks, vs):
+            return self.map
+
+        def getValueState(self, name, schema):
+            return self.val
+
+    proc = st._HostTypeCounts()
+    handle = FakeHandle()
+    proc.init(handle)
+    rows = ["click", None, "click", "view", None, "click", None, "view", "buy"]
+    # split the input across two micro-batches at an arbitrary point
+    outs = []
+    for chunk in (rows[:4], rows[4:]):
+        outs.extend(
+            proc.handleInputRows(
+                ("h1",), iter([pd.DataFrame({"event_type": chunk})]), None
+            )
+        )
+    final = {}
+    for pdf in outs:  # update mode: last emission per key wins
+        for _, r in pdf.iterrows():
+            k = r["event_type"]
+            final[None if pd.isna(k) else k] = int(r["events_seen"])
+    from collections import Counter
+
+    assert final == dict(Counter(rows))
+    # exactly one state-server read per distinct non-null key per batch
+    assert handle.map.get_calls == 2 + 3

@@ -157,9 +157,10 @@ def events_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     the anomaly/data-quality gate every ingest pipeline runs.  On the
     x100 integer grid, z^2 > 4 is the integer inequality
     (n*v - s)^2 > 4*(n*q - s^2) with s = sum, q = sum of squares — both
-    sides computed in 128-bit exact arithmetic (Spark decimal(38,0),
-    DuckDB HUGEINT), so no variance estimate, division, or sqrt ever
-    touches a float and summation order cannot flip a flag.
+    sides computed in 128-bit exact arithmetic end to end (Spark sums
+    pre-widened decimal(38,0) values, matching DuckDB's BIGINT-sums-into-
+    HUGEINT), so no variance estimate, division, or sqrt ever touches a
+    float and summation order cannot flip a flag.
 
     Scale shape: per-user moments are one hash agg with map-side
     partials; the flag join keys on user_id — the same partitioning the
@@ -171,19 +172,19 @@ def events_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     b = load(spark, sf, "events").select(
         "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
     )
+    dec = "decimal(38,0)"
+    # widen BEFORE the sums, not just before the multiply: a 64-bit
+    # sum(vc*vc) overflows (ANSI error under Spark 4's default) once
+    # Σvc² exceeds 2^63 at scale, while the DuckDB twin's BIGINT sums
+    # aggregate into HUGEINT — decimal(38,0) sums keep both engines
+    # 128-bit exact end to end
     a = b.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.sum("vc").alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+        F.sum(F.col("vc").cast(dec)).alias("s"),
+        F.sum(F.col("vc").cast(dec) * F.col("vc")).alias("q"),
     )
-    dec = "decimal(38,0)"
-    # widen BEFORE the multiply: n*vc in 64-bit would silently wrap in
-    # Spark (and raise in DuckDB) once n*vc exceeds 2^63 at scale
-    lhs_base = F.col("n").cast(dec) * F.col("vc").cast(dec) - F.col("s").cast(dec)
-    rhs = 4 * (
-        F.col("n").cast(dec) * F.col("q").cast(dec)
-        - F.col("s").cast(dec) * F.col("s").cast(dec)
-    )
+    lhs_base = F.col("n").cast(dec) * F.col("vc").cast(dec) - F.col("s")
+    rhs = 4 * (F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s"))
     return b.join(a, "user_id").select(
         "event_id", (lhs_base * lhs_base > rhs).cast("int").alias("is_outlier")
     )
@@ -278,7 +279,7 @@ WEEK_S = 604800  # epoch weeks — integer cohort keys on both engines
     act AS (SELECT DISTINCT user_id, wk FROM b),
     k AS (
       SELECT f.cohort, a.wk - f.cohort AS k,
-             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+             CAST(count(*) AS BIGINT) AS n_users
       FROM act a JOIN fw f USING (user_id)
       GROUP BY f.cohort, a.wk - f.cohort),
     base AS (SELECT cohort, n_users AS n0 FROM k WHERE k = 0)
@@ -292,14 +293,16 @@ def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     cohorted by their first active epoch-week, and for each offset k the
     share of the cohort still active k weeks later.  Week keys are exact
     integers (floor epoch/604800 — the st3/w5 floor convention), counts
-    are exact distincts, and retention is one rounded division per cell
-    (k=0 is 1.0 by construction — every user is active in their cohort
-    week — which doubles as a self-check).
+    are exact, and retention is one rounded division per cell (k=0 is
+    1.0 by construction — every user is active in their cohort week —
+    which doubles as a self-check).
 
     Scale shape: first-week and the activity set are user_id-keyed aggs
     on one shared partitioning; their join is user_id-to-user_id on that
-    same partitioning; the (cohort, k) rollup uses Spark's two-phase
-    exact count-distinct (partial dedup before the shuffle); the k=0
+    same partitioning; the (cohort, k) rollup is a plain count — act is
+    already distinct (user_id, wk) and cohort is functionally dependent
+    on user_id, so (cohort, k, user_id) is provably unique and a
+    count-distinct would only add a redundant dedup phase; the k=0
     base table is cohort-count-sized — metadata — and broadcasts back
     onto the matrix."""
     b = load(spark, sf, "events").select(
@@ -311,7 +314,7 @@ def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     k = (
         act.join(fw, "user_id")
         .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("k"))
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .agg(F.count("*").cast("long").alias("n_users"))
     )
     base = k.where(F.col("k") == 0).select("cohort", F.col("n_users").alias("n0"))
     return k.join(F.broadcast(base), "cohort").select(
@@ -360,9 +363,11 @@ def events_ab_ttest(spark: SparkSession, sf: str) -> DataFrame:
     the x100 integer grid.
 
     Parity device (the events_zscore / emb_drift family): per-variant
-    moments n, s=Σvc, q=Σvc² are EXACT integer sums (every quantity is
-    < 2^53, so the DOUBLE cast is lossless and summation order cannot
-    change a bit), and the only float arithmetic is one fixed expression
+    moments n, s=Σvc, q=Σvc² are EXACT integer sums — pre-widened to
+    decimal(38,0) to match DuckDB's BIGINT-sums-into-HUGEINT, then cast
+    to DOUBLE once (exact-integer-to-double rounds identically from
+    either 128-bit representation) — and the only float arithmetic is
+    one fixed expression
     tree — mean = s/n, var = (q - s·s/n)/(n-1), t = Δmean/√(var_a/n_a +
     var_b/n_b) — written identically in both engines, so IEEE-754 makes
     the doubles bit-equal before the final round(·,4).  The significance
@@ -377,10 +382,13 @@ def events_ab_ttest(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") % 2).alias("v"),
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     )
+    dec = "decimal(38,0)"
+    # pre-widened sums: see events_zscore_outliers — a 64-bit Σvc²
+    # overflows past 2^63 where the oracle's HUGEINT sum stays exact
     m = b.groupBy("event_type", "v").agg(
         F.count("*").alias("n"),
-        F.sum("vc").cast("double").alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).cast("double").alias("q"),
+        F.sum(F.col("vc").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("vc").cast(dec) * F.col("vc")).cast("double").alias("q"),
     )
     a = m.where(F.col("v") == 0).select(
         "event_type",
@@ -480,6 +488,10 @@ def events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
 # --- Marketing attribution ---------------------------------------------------
 ATTR_TOUCHES = ("click", "view")
 ATTR_WINDOW_US = 3 * 24 * 3600 * 1_000_000  # last-touch lookback: 3 days
+# single-source the touch list into the SQL twin (like ATTR_WINDOW_US):
+# a hardcoded IN ('click','view') would silently go stale if ATTR_TOUCHES
+# ever gains a type
+_ATTR_IN = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
 
 
 @q(
@@ -491,10 +503,10 @@ ATTR_WINDOW_US = 3 * 24 * 3600 * 1_000_000  # last-touch lookback: 3 days
       FROM events),
     t AS (
       SELECT *,
-             last_value(CASE WHEN event_type IN ('click', 'view')
+             last_value(CASE WHEN event_type IN ({_ATTR_IN})
                              THEN t_us END IGNORE NULLS)
                OVER w AS lt_t,
-             last_value(CASE WHEN event_type IN ('click', 'view')
+             last_value(CASE WHEN event_type IN ({_ATTR_IN})
                              THEN event_type END IGNORE NULLS)
                OVER w AS lt_c
       FROM b
@@ -579,7 +591,7 @@ def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
 # standard dev > 3*MAD flag becomes the integer comparison
 # 2*dev2 > 3*mad4.  (The 1.4826 normal-consistency constant is omitted —
 # it only rescales the threshold, which is calibrated directly.)
-MAD_K_NUM, MAD_K_DEN = 3, 1  # flag when dev > 3 * MAD
+MAD_K_NUM = 3  # flag when dev > 3 * MAD
 
 
 def _hist_med2(df, key: str, val: str, out: str):
@@ -587,8 +599,16 @@ def _hist_med2(df, key: str, val: str, out: str):
     ONE partial-agg histogram shuffle, windows over histogram rows
     (value-cardinality-bounded, never row-bounded), min-conditional pick
     of the two middle elements.  No per-key sort of raw rows exists in
-    the plan — the one-task-per-key pole is designed out."""
-    hist = df.groupBy(key, val).agg(F.count("*").alias("c"))
+    the plan — the one-task-per-key pole is designed out.
+
+    NULL vals are excluded from the histogram to match SQL median()
+    semantics (aggregates skip NULLs); a NULL row would otherwise sort
+    first and inflate cum/n, shifting the order-statistic picks."""
+    hist = (
+        df.where(F.col(val).isNotNull())
+        .groupBy(key, val)
+        .agg(F.count("*").alias("c"))
+    )
     wcum = (
         Window.partitionBy(key)
         .orderBy(val)

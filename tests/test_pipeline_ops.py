@@ -2764,3 +2764,18 @@ def test_sc12_schema_evolution_merges_and_nulls(spark):
     assert got == want
     # every type has both schema generations in the fixture
     assert all(0 < v[1] < v[0] for v in got.values())
+
+
+def test_hist_med2_ignores_nulls(spark):
+    """_hist_med2 must match SQL median() NULL semantics (aggregates skip
+    NULLs): a NULL val row would otherwise become the first histogram row
+    and inflate cum/n, shifting the order-statistic picks (r05 review:
+    [NULL, 1, 3] gave med2=2 instead of median(1,3)*2=4)."""
+    from analytics.events import _hist_med2
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 3), ("b", 5)],
+        "k string, v long",
+    )
+    got = {r["k"]: r["m2"] for r in _hist_med2(df, "k", "v", "m2").collect()}
+    assert got == {"a": 4, "b": 10}

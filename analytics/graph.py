@@ -54,16 +54,63 @@ N_NODES = 400
 DAMPING = 0.85
 N_ITER = 4
 
-_EDGES_SQL = f"""
+# Seed-free graph prefix shared by every link_* oracle; each op appends its
+# own seed CTE(s) instead of string-replacing a seed line out of a combined
+# block (r05 review: an exact-string .replace() is a silent no-op the moment
+# the matched text drifts, breaking four oracles far from the edit).
+_GRAPH_SQL = f"""
   edges AS (SELECT DISTINCT l_partkey % {N_NODES} AS src,
                             l_suppkey % {N_NODES} AS dst
             FROM lineitem
             WHERE l_partkey % {N_NODES} != l_suppkey % {N_NODES}),
   outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
   nodes AS (SELECT DISTINCT src AS node FROM edges
-            UNION SELECT DISTINCT dst FROM edges),
-  pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)
-"""
+            UNION SELECT DISTINCT dst FROM edges)"""
+
+# undirected adjacency + self-label row — shared by components / label-prop
+_ADJ_SQL = """
+  adj AS (SELECT node AS v, node AS u FROM nodes
+          UNION ALL SELECT src, dst FROM edges
+          UNION ALL SELECT dst, src FROM edges)"""
+
+
+def _link_edges(spark: SparkSession, sf: str, checkpoint: bool = True) -> DataFrame:
+    """The deterministic lineitem link graph — single-source Spark twin of
+    the _GRAPH_SQL edges CTE (previously hand-rolled in six ops; an edit
+    to one copy would silently break only that op's oracle parity).
+    checkpoint=True when several iteration rounds re-read the edges."""
+    e = (
+        load(spark, sf, "lineitem")
+        .select(
+            (F.col("l_partkey") % N_NODES).alias("src"),
+            (F.col("l_suppkey") % N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return e.localCheckpoint() if checkpoint else e
+
+
+def _link_nodes(edges: DataFrame) -> DataFrame:
+    """Node set of the link graph (both endpoints, deduped) — twin of the
+    _GRAPH_SQL nodes CTE; always checkpointed (every caller re-reads it
+    per round)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _link_adj(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Undirected adjacency with a self row per node — twin of _ADJ_SQL."""
+    return (
+        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+        .union(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint()
+    )
 
 
 def _iter_sql(i: int) -> str:
@@ -83,7 +130,10 @@ def _iter_sql(i: int) -> str:
 @q(
     "link_pagerank",
     "WITH "
-    + ",".join([_EDGES_SQL] + [_iter_sql(i) for i in range(1, N_ITER + 1)])
+    + ",".join(
+        [_GRAPH_SQL, "\n  pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"]
+        + [_iter_sql(i) for i in range(1, N_ITER + 1)]
+    )
     + f"""
     SELECT node, round(pr, 4) AS pr FROM pr{N_ITER}
     """,
@@ -91,26 +141,12 @@ def _iter_sql(i: int) -> str:
 def link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the deterministic lineitem link graph: 4 power
     iterations, damping 0.85, PR' = (1-d) + d * Σ PR(u)/deg(u)."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        # edges + outdeg feed every round: checkpoint once so 4 rounds of
-        # plans reference a materialized table, not 4 re-derivations of
-        # the distinct (which would re-shuffle the scan per round)
-        .localCheckpoint()
-    )
+    # edges + outdeg feed every round: checkpoint once so 4 rounds of
+    # plans reference a materialized table, not 4 re-derivations of
+    # the distinct (which would re-shuffle the scan per round)
+    edges = _link_edges(spark, sf)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = _link_nodes(edges)
     ranks = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(N_ITER):
         contribs = (
@@ -137,20 +173,40 @@ def link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- HITS hubs & authorities ---------------------------------------------
 HITS_ITER = 4
+HITS_GRID = 1_000_000
 
 
 def _hits_iter_sql(i: int) -> str:
+    # per-round renormalize onto the integer grid (the emb_pca_power
+    # device): raw sums are 128-bit exact (BIGINT->HUGEINT), then ONE
+    # double expression round(r/m*GRID) on bit-equal integer inputs — so
+    # every round's state is pure integers in both engines and magnitudes
+    # never grow past in-degree*GRID.  The max comes in via max() OVER ()
+    # so every CTE is referenced exactly ONCE: a second reference (e.g. a
+    # scalar max subquery) would make DuckDB's CTE inlining re-expand the
+    # whole upstream chain per round — 2^rounds blow-up (measured 264 s
+    # vs 2 s at sf0.01)
     return f"""
-  a{i} AS (SELECT n.node, coalesce(sum(h.hub), 0) AS auth
-           FROM nodes n
-           LEFT JOIN edges e ON e.dst = n.node
-           LEFT JOIN h{i - 1} h ON h.node = e.src
-           GROUP BY n.node),
-  h{i} AS (SELECT n.node, coalesce(sum(a.auth), 0) AS hub
-           FROM nodes n
-           LEFT JOIN edges e ON e.src = n.node
-           LEFT JOIN a{i} a ON a.node = e.dst
-           GROUP BY n.node)
+  ar{i} AS (SELECT n.node, coalesce(sum(h.hub), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY n.node),
+  a{i} AS (SELECT node,
+                  CAST(round(CAST(r AS DOUBLE)
+                             / CAST(max(r) OVER () AS DOUBLE)
+                             * {HITS_GRID}) AS BIGINT) AS auth
+           FROM ar{i}),
+  hr{i} AS (SELECT n.node, coalesce(sum(a.auth), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.src = n.node
+            LEFT JOIN a{i} a ON a.node = e.dst
+            GROUP BY n.node),
+  h{i} AS (SELECT node,
+                  CAST(round(CAST(r AS DOUBLE)
+                             / CAST(max(r) OVER () AS DOUBLE)
+                             * {HITS_GRID}) AS BIGINT) AS hub
+           FROM hr{i})
 """
 
 
@@ -158,90 +214,105 @@ def _hits_iter_sql(i: int) -> str:
     "link_hits",
     "WITH "
     + ",".join(
-        [_EDGES_SQL.replace("pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
-                            "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)")]
+        [
+            _GRAPH_SQL,
+            f"\n  h0 AS (SELECT node, CAST({HITS_GRID} AS BIGINT) AS hub FROM nodes)",
+        ]
         + [_hits_iter_sql(i) for i in range(1, HITS_ITER + 1)]
     )
     + f"""
-    SELECT a.node,
-           round(a.auth / (SELECT sum(auth) FROM a{HITS_ITER}), 6) AS auth_score,
-           round(h.hub / (SELECT sum(hub) FROM h{HITS_ITER}), 6) AS hub_score
-    FROM a{HITS_ITER} a JOIN h{HITS_ITER} h ON h.node = a.node
+    SELECT node,
+           round(CAST(auth AS DOUBLE)
+                 / CAST(sum(auth) OVER () AS DOUBLE), 6) AS auth_score,
+           round(CAST(hub AS DOUBLE)
+                 / CAST(sum(hub) OVER () AS DOUBLE), 6) AS hub_score
+    FROM (SELECT a.node, a.auth, h.hub
+          FROM a{HITS_ITER} a JOIN h{HITS_ITER} h ON h.node = a.node)
     """,
 )
 def link_hits(spark: SparkSession, sf: str) -> DataFrame:
     """HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
     Environment") over the same deterministic lineitem link graph as
     link_pagerank: HITS_ITER coupled rounds of
-    auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v).
+    auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v), each side
+    renormalized to max = HITS_GRID after every half-round.
 
-    Parity device — EXACT integer iterations, one inexact op at the end:
-    the textbook per-round L1/L2 normalization divides by an
-    order-dependent floating sum every round, compounding cross-engine
-    rounding through the iteration (the kmeans_train fragility the r04
-    advice flagged).  Instead the rounds run UN-normalized: hub starts at
-    1, every score is then a sum of integer-valued doubles — exact and
-    summation-order-independent up to 2^53 (the 400-node fixture peaks
-    ~1e10) — so all four rounds are bit-identical in Spark, DuckDB and
-    python.  A single normalization by the (exact-integer) global sum,
-    then round(·, 6), is the only inexact arithmetic and it is one IEEE
-    division composed once, deterministic across engines.
+    Parity device — integer state, one scale-free double op per round
+    (the emb_pca_power renormalization): the textbook L1/L2 norm divides
+    by an order-dependent floating sum, and fully UN-normalized rounds
+    (the r04 form) overflow double exactness — at sf0.01 round-4 sums
+    reach ~1e20 >> 2^53, making the result order-dependent (r05 review).
+    Instead each half-round is [128-bit-exact integer sum (Spark
+    decimal(38,0), DuckDB HUGEINT) -> renormalize by max|r| onto the
+    x1e6 integer grid].  The division is ONE double expression on
+    bit-equal integers — deterministic across engines regardless of
+    magnitude — so every round's state is bit-identical in Spark, DuckDB
+    and python AT ANY SCALE, and score magnitudes stay <= in-degree*1e6
+    forever.  Renormalizing by max instead of a norm keeps the iterate
+    on the grid (the power method's fixed direction is scale-free).  The
+    final global-sum normalization + round(·, 6) is the only other
+    inexact arithmetic, composed once from exact integers.
 
     Scale shape: identical to link_pagerank — per round two
     shuffle-on-key aggregations (dst then src, partial aggs combine
-    map-side), edges/nodes checkpointed once, per-round localCheckpoint
-    keeps the plan O(1); AQE skew-splits hub pages.  The final
-    normalization is a 1-row global agg broadcast back with a crossJoin,
-    not a driver collect."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
+    map-side) plus two 1-row max-aggs broadcast back, edges/nodes
+    checkpointed once, per-round localCheckpoint keeps the plan O(1);
+    AQE skew-splits hub pages.  The final normalization is a 1-row
+    global agg broadcast back with a crossJoin, not a driver collect."""
+    edges = _link_edges(spark, sf)
+    nodes = _link_nodes(edges)
+    dec = "decimal(38,0)"
+    grid = (
+        F.round(
+            F.col("r").cast("double") / F.col("m").cast("double") * HITS_GRID
         )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+        .cast("long")
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    hub = nodes.withColumn("hub", F.lit(1.0))
+    hub = nodes.withColumn("hub", F.lit(HITS_GRID).cast("long"))
     auth = None
     for _ in range(HITS_ITER):
         a_contrib = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("hub").alias("s"))
+            .agg(F.sum(F.col("hub").cast(dec)).alias("s"))
         )
+        a_raw = nodes.join(a_contrib, nodes.node == a_contrib.dst, "left").select(
+            "node", F.coalesce("s", F.lit(0).cast(dec)).alias("r")
+        )
+        am = a_raw.agg(F.max("r").alias("m"))
         auth = (
-            nodes.join(a_contrib, nodes.node == a_contrib.dst, "left")
-            .select("node", F.coalesce("s", F.lit(0.0)).alias("auth"))
+            a_raw.crossJoin(F.broadcast(am))
+            .select("node", grid.alias("auth"))
             .localCheckpoint()
         )
         h_contrib = (
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(F.sum("auth").alias("s"))
+            .agg(F.sum(F.col("auth").cast(dec)).alias("s"))
         )
+        h_raw = nodes.join(h_contrib, nodes.node == h_contrib.src, "left").select(
+            "node", F.coalesce("s", F.lit(0).cast(dec)).alias("r")
+        )
+        hm = h_raw.agg(F.max("r").alias("m"))
         hub = (
-            nodes.join(h_contrib, nodes.node == h_contrib.src, "left")
-            .select("node", F.coalesce("s", F.lit(0.0)).alias("hub"))
+            h_raw.crossJoin(F.broadcast(hm))
+            .select("node", grid.alias("hub"))
             .localCheckpoint()
         )
-    tot = auth.agg(F.sum("auth").alias("ta")).crossJoin(
-        hub.agg(F.sum("hub").alias("th"))
+    tot = auth.agg(F.sum(F.col("auth").cast(dec)).alias("ta")).crossJoin(
+        hub.agg(F.sum(F.col("hub").cast(dec)).alias("th"))
     )
     return (
         auth.join(hub, "node")
         .crossJoin(F.broadcast(tot))
         .select(
             "node",
-            F.round(F.col("auth") / F.col("ta"), 6).alias("auth_score"),
-            F.round(F.col("hub") / F.col("th"), 6).alias("hub_score"),
+            F.round(
+                F.col("auth").cast("double") / F.col("ta").cast("double"), 6
+            ).alias("auth_score"),
+            F.round(
+                F.col("hub").cast("double") / F.col("th").cast("double"), 6
+            ).alias("hub_score"),
         )
     )
 
@@ -263,13 +334,9 @@ def _cc_iter_sql(i: int) -> str:
     "WITH "
     + ",".join(
         [
-            _EDGES_SQL.replace(
-                "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
-                """adj AS (SELECT node AS v, node AS u FROM nodes
-            UNION ALL SELECT src, dst FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-  l0 AS (SELECT node, node AS lbl FROM nodes)""",
-            )
+            _GRAPH_SQL,
+            _ADJ_SQL,
+            "\n  l0 AS (SELECT node, node AS lbl FROM nodes)",
         ]
         + [_cc_iter_sql(i) for i in range(1, CC_ROUNDS + 1)]
     )
@@ -296,28 +363,9 @@ def link_components(spark: SparkSession, sf: str) -> DataFrame:
     analytics/dedup.py's duplicate-cluster resolution (SoCC'14) — this
     query exposes the oracle-checkable fixed-round form over the link
     graph."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    adj = (
-        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
-        .union(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
-        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
-        .localCheckpoint()
-    )
+    edges = _link_edges(spark, sf)
+    nodes = _link_nodes(edges)
+    adj = _link_adj(edges, nodes)
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(CC_ROUNDS):
         lbl = (
@@ -331,7 +379,8 @@ def link_components(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- triangle counting / clustering coefficient ----------------------------
 _TRI_SQL = f"""
-WITH {_EDGES_SQL.replace("pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)", '''und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+WITH {_GRAPH_SQL + ''',
+  und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
            FROM edges GROUP BY 1, 2),
   udeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
            FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
@@ -351,7 +400,7 @@ WITH {_EDGES_SQL.replace("pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM no
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri),
   cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
-          FROM per GROUP BY node)''')}
+          FROM per GROUP BY node)'''}
 SELECT n.node,
        coalesce(c.triangles, 0) AS triangles,
        round(CASE WHEN d.d >= 2
@@ -388,15 +437,7 @@ def link_triangles(spark: SparkSession, sf: str) -> DataFrame:
     equi-joins on src / (src,dst): partial aggregation combines
     map-side, AQE splits residual skew.  The triangle->vertex fan-out
     (3 rows per triangle) then one hash agg per node."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _link_edges(spark, sf, checkpoint=False)
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -433,11 +474,11 @@ def link_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("y") != F.col("z"))
         .join(e3, ["y", "z"])
     )
-    per = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
-    )
+    # single-pass fan-out: a union of three tri projections would plan
+    # and execute the expensive wedge-closing join once PER BRANCH (r05
+    # review measured 7 SMJs / 0 reuse); explode emits the same 3 rows
+    # per triangle from ONE execution of the join
+    per = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     cnt = per.groupBy("node").agg(F.count("*").alias("triangles"))
     nodes = udeg.select(F.col("n").alias("node"), "d")
     return (
@@ -479,13 +520,9 @@ def _lp_iter_sql(i: int) -> str:
     "WITH "
     + ",".join(
         [
-            _EDGES_SQL.replace(
-                "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
-                """adj AS (SELECT node AS v, node AS u FROM nodes
-            UNION ALL SELECT src, dst FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-  lp0 AS (SELECT node, node AS lbl FROM nodes)""",
-            )
+            _GRAPH_SQL,
+            _ADJ_SQL,
+            "\n  lp0 AS (SELECT node, node AS lbl FROM nodes)",
         ]
         + [_lp_iter_sql(i) for i in range(1, LP_ROUNDS + 1)]
     )
@@ -508,28 +545,9 @@ def link_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     no high-degree-hub window pole; AQE skew-splits the hub keys of the
     first agg).  localCheckpoint per round keeps the plan O(1) in the
     round count."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    adj = (
-        nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
-        .union(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
-        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
-        .localCheckpoint()
-    )
+    edges = _link_edges(spark, sf)
+    nodes = _link_nodes(edges)
+    adj = _link_adj(edges, nodes)
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(LP_ROUNDS):
         lbl = (
@@ -657,7 +675,7 @@ def _bfs_iter_sql(i: int) -> str:
 )
 def link_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     """BFS hop distance from the seed set over the deterministic lineitem
-    link graph: {BFS_HOPS} relaxation rounds, nodes still unreached after
+    link graph: BFS_HOPS relaxation rounds, nodes still unreached after
     round K are omitted (they are depth > K, the next crawl ring).
 
     Scale shape: each round is ONE co-partitioned join (frontier onto
@@ -770,20 +788,17 @@ def link_cocitation_topk(spark: SparkSession, sf: str) -> DataFrame:
     window ranks at most |pages| × CAP candidate rows with
     WindowGroupLimit pushdown.  Counts are exact integers — no float
     parity surface."""
-    li = load(spark, sf, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") % N_NODES).alias("src"),
-            (F.col("l_suppkey") % N_NODES).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _link_edges(spark, sf, checkpoint=False)
     w_cap = Window.partitionBy("src").orderBy("dst")
     capped = (
         edges.withColumn("rn", F.row_number().over(w_cap))
         .where(F.col("rn") <= COCITE_CAP)
         .drop("rn")
+        # both sides of the self-join read capped: checkpoint once or the
+        # scan -> distinct -> cap window subtree executes twice (the r05
+        # review measured the parquet scan planned 2x with 0 reuse — the
+        # AQE-stage-re-execution cost class dedup_containment paid for)
+        .localCheckpoint()
     )
     pairs = (
         capped.alias("c1")

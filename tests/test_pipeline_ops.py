@@ -543,15 +543,27 @@ def test_random_projection_matches_numpy(spark):
 
 
 def test_hits_matches_python_iteration(spark):
-    """4 un-normalized HITS rounds against a dict-based recompute.
+    """4 grid-renormalized HITS rounds against a dict-based recompute.
 
-    The rounds stay on exact integers (see link_hits docstring), so the
-    comparison is equality after the single final normalization+round,
-    not an epsilon band."""
+    Each half-round is an exact integer sum renormalized onto the x1e6
+    grid by ONE double expression round(r/m*GRID) (see link_hits
+    docstring — the r04 un-normalized form overflowed 2^53 at sf>=0.01),
+    so the python recompute tracks the same integers and the comparison
+    is equality after the final normalization+round, not an epsilon
+    band.  Rounding is HALF_UP on the double's shortest repr — exactly
+    Spark's BigDecimal.valueOf path (python round() is banker's)."""
     from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
 
     from analytics import graph as G
     from analytics.common import load
+
+    def grid(r: int, m: int) -> int:
+        x = r / m * G.HITS_GRID
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     rows = (
         load(spark, SF_TEST, "lineitem")
@@ -565,20 +577,19 @@ def test_hits_matches_python_iteration(spark):
     )
     edges = [(r["src"], r["dst"]) for r in rows]
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    hub = {n: 1.0 for n in nodes}
+    hub = {n: G.HITS_GRID for n in nodes}
     auth = {}
     for _ in range(G.HITS_ITER):
-        acc = defaultdict(float)
+        acc = defaultdict(int)
         for s, d in edges:
             acc[d] += hub[s]
-        auth = {n: acc.get(n, 0.0) for n in nodes}
-        acc = defaultdict(float)
+        m = max(acc.values())
+        auth = {n: grid(acc.get(n, 0), m) for n in nodes}
+        acc = defaultdict(int)
         for s, d in edges:
             acc[s] += auth[d]
-        hub = {n: acc.get(n, 0.0) for n in nodes}
-    # exact-integer invariant the parity device rests on
-    assert all(v == int(v) for v in auth.values())
-    assert all(v == int(v) for v in hub.values())
+        m = max(acc.values())
+        hub = {n: grid(acc.get(n, 0), m) for n in nodes}
     ta, th = sum(auth.values()), sum(hub.values())
     got = {
         r["node"]: (r["auth_score"], r["hub_score"])
@@ -586,7 +597,7 @@ def test_hits_matches_python_iteration(spark):
     }
     assert set(got) == set(nodes)
     for n in nodes:
-        assert got[n] == (round(auth[n] / ta, 6), round(hub[n] / th, 6)), n
+        assert got[n] == (r6(auth[n] / ta), r6(hub[n] / th)), n
 
 
 def test_link_components_converge_to_union_find(spark):

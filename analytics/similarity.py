@@ -207,6 +207,44 @@ N_LISTS = 16
 N_PROBE = 4
 
 
+def _coarse_score(e: DataFrame) -> DataFrame:
+    """Coarse-quantizer scoring shared by ann_ivf / dedup_semantic /
+    emb_cluster_sample (previously three hand-rolled copies — r05
+    review): the N_LISTS lowest-vec_id vectors are the centroid set
+    (deterministic across engines, no iterative training job), broadcast
+    against the corpus scan, scored by cosine."""
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_LISTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    return e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
+    )
+
+
+def _coarse_assign(scored: DataFrame, emb_alias: str | None = None) -> DataFrame:
+    """(vec_id, list_id[, <emb_alias>]) cluster assignment off the scored
+    frame.  Argmax tie-break: exact cosine ties happen (centroids score
+    1.0 with themselves and any duplicate vector), and a bare
+    max_by(cent_id, cs) is then nondeterministic across partitionings —
+    ordering by struct(cs, -cent_id) picks the lowest cent_id among the
+    maxima, the same rule as the IVF probe side's row_number window.
+    The groupBy(vec_id) is key-unique and skew-free; Catalyst prunes the
+    embedding column when emb_alias is None."""
+    aggs = [
+        F.max_by(
+            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
+        ).alias("list_id")
+    ]
+    if emb_alias:
+        aggs.append(F.first("embedding").alias(emb_alias))
+    return scored.groupBy("vec_id").agg(*aggs)
+
+
 @q("ann_ivf")
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN — the second scale path next to ``ann_lsh_bucketed``
@@ -230,28 +268,8 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_spread(spark, sf, "embeddings")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(N_LISTS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
-    )
-    # argmax tie-break: exact cosine ties happen (queries 0-9 ARE centroids,
-    # cos=1.0 with themselves and any duplicate vector), and a bare
-    # max_by(cent_id, cs) is then nondeterministic across partitionings.
-    # Ordering by struct(cs, -cent_id) makes it the lowest cent_id among the
-    # maxima — same rule as the probe side's row_number window.
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
-        ).alias("list_id"),
-        F.first("embedding").alias("ce"),
-    )
+    scored = _coarse_score(e)
+    assign = _coarse_assign(scored, emb_alias="ce")
     wq = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("cent_id"))
     probes = (
         scored.where(F.col("vec_id") < 10)
@@ -364,11 +382,16 @@ def emb_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
             # in EITHER orientation — normalize to (min, max) below
             mask = sim >= 0.35
         ii, jj = np.nonzero(mask)
+        c = sim[ii, jj]
+        # half-away-from-zero like Spark/DuckDB round() — np.round is
+        # banker's (half-to-even), which would emit a different 4-dp cos
+        # for a pair landing on a halfway (r05 review: np.round(2.5)=2
+        # vs engine round(2.5)=3)
         return pd.DataFrame(
             {
                 "v1": np.minimum(lid[ii], rid[jj]),
                 "v2": np.maximum(lid[ii], rid[jj]),
-                "cos": np.round(sim[ii, jj], 4),
+                "cos": np.copysign(np.floor(np.abs(c) * 1e4 + 0.5), c) / 1e4,
             }
         )
 
@@ -395,7 +418,13 @@ def quantize_int8(e: DataFrame) -> DataFrame:
     and DuckDB ``round`` are half-away-from-zero, so the oracle is an
     exact twin.  Degenerate all-zero vectors (scale = 0) quantize to all
     zeros instead of dividing by zero (null under non-ANSI Spark, NaN in
-    DuckDB — the twin diverged there before the guard)."""
+    DuckDB — the twin diverged there before the guard).  The emitted
+    6-dp scale goes through the x1e6 integer grid (round-to-integer of a
+    bit-equal double, then one exact division) instead of round(·, 6) —
+    fractional-decimal round is the one float op whose halfway detection
+    can differ between Spark's shortest-repr BigDecimal path and
+    DuckDB's scaled-binary path (the r04-advice flake class the kmeans
+    grid exists to avoid); round-to-INTEGER agrees everywhere."""
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
     scale = absmax / F.lit(127.0)
     safe = F.when(scale == 0, F.lit(None).cast("double")).otherwise(scale)
@@ -405,7 +434,7 @@ def quantize_int8(e: DataFrame) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
+        (F.round(scale * 1_000_000).cast("long") / F.lit(1_000_000.0)).alias("scale"),
         qvec.alias("qvec"),
     )
 
@@ -418,7 +447,8 @@ def quantize_int8(e: DataFrame) -> DataFrame:
              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
                / 127.0 AS scale
       FROM embeddings)
-    SELECT vec_id, round(scale, 6) AS scale,
+    SELECT vec_id,
+           CAST(round(scale * 1000000) AS BIGINT) / 1000000.0 AS scale,
            array_to_string(list_transform(embedding,
              x -> CAST(coalesce(round(CAST(x AS DOUBLE) / nullif(scale, 0)), 0)
                        AS TINYINT)), ',') AS qvec
@@ -733,23 +763,7 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     ~0.95); the centroid set (lowest-{N_LISTS} vec_ids) is deterministic
     across engines and cluster sizes."""
     e = load_spread(spark, sf, "embeddings")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(N_LISTS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
-        ).alias("list_id"),
-        F.first("embedding").alias("emb"),
-    )
+    assign = _coarse_assign(_coarse_score(e), emb_alias="emb")
     a = assign.select(
         F.col("list_id"),
         F.col("vec_id").alias("v1"),
@@ -873,21 +887,7 @@ def emb_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_spread(spark, sf, "embeddings")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(N_LISTS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cent")).alias("cs"),
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
-        ).alias("list_id")
-    )
+    assign = _coarse_assign(_coarse_score(e))
     quota = (
         assign.groupBy("list_id")
         .agg(F.count("*").alias("n"))
@@ -1235,11 +1235,20 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     textbook trick.
 
     Parity device: components land on the x1e6 integer grid (float32 ->
-    double exact, one round), every partial is an exact int64 (bounds:
-    |xi| <= 1e6 so xi*xj <= 1e12/row; 1e5 rows stay < 2^53 for the final
-    double conversion, documented), and the final covariance is one
-    identical double expression on both engines — the summation-order
-    immunity of the kmeans/drift integer-grid family.
+    double exact, one round), every partial is an exact int64 (|xi| <=
+    1e6 so xi*xj <= 1e12/row).  Two bounds, stated exactly (r05 review —
+    the earlier "< 2^53" claim was arithmetically false): (1) the summed
+    moments pass 2^53 already at ~1e4 rows, so the closing double
+    conversion is correctly-ROUNDED, not exact — but both engines
+    convert the SAME exact integer and IEEE conversion of equal integers
+    is identical, so cross-engine parity holds bit-for-bit regardless;
+    (2) the int64 moment (and the BIGINT sxy_grid output column) holds
+    ~9e6 rows per moment before overflowing — loudly, under ANSI — at
+    which point the production shape is per-shard moment matrices merged
+    with Chan et al.'s pairwise update, not a wider single sum.  The
+    final covariance is one identical double expression on both engines
+    — the summation-order immunity of the kmeans/drift integer-grid
+    family.
 
     Scale shape: the shuffle carries (d+1)(d+2)/2 rows PER BATCH (model-
     sized, ~2 k for d=64), never corpus rows; partial aggregation combines
@@ -1340,8 +1349,14 @@ def _cov_frame(e: DataFrame) -> DataFrame:
 PCA_ROUNDS = 4
 PCA_GRID = 1_000_000
 
-_PCA_G_SPIKED = f"""
-      SELECT list_transform(embedding,
+
+def _pca_g_spiked(cols: str = "") -> str:
+    """Spiked integer-grid scan, optionally carrying extra lead columns —
+    parameterized instead of post-hoc string surgery (the graph.py
+    seed-composition lesson: a .replace() on oracle text is a silent
+    no-op once the anchor drifts)."""
+    return f"""
+      SELECT {cols}list_transform(embedding,
                (v, k) -> CAST(round((CAST(v AS DOUBLE)
                                      + ((vec_id % 7) - 3) * 0.5
                                        * (CASE WHEN k % 3 = 0
@@ -1349,7 +1364,31 @@ _PCA_G_SPIKED = f"""
                                     * {COV_GRID}) AS BIGINT)) AS xi
       FROM embeddings"""
 
-ORACLE["emb_pca_power"] = (
+
+_PCA_G_SPIKED = _pca_g_spiked()
+
+# Spark twin of _pca_g_spiked — ONE definition consumed by both
+# emb_pca_power and emb_pca_project (previously duplicated 13 lines;
+# tuning the spike in one copy would silently desynchronize the other).
+# A function, not a module constant: Column construction needs an active
+# SparkContext, which does not exist at import time.
+def _spiked_xi():
+    return F.transform(
+        "embedding",
+        lambda v, i: F.round(
+            (
+                v.cast("double")
+                + (F.col("vec_id") % 7 - 3)
+                * 0.5
+                * F.when((i + 1) % 3 == 0, -1.0).otherwise(1.0)
+            )
+            * COV_GRID
+        ).cast("long"),
+    )
+
+# seed-free shared prefix: covariance + grid rescale + unrolled power
+# iterations; each consumer appends its own final SELECT
+_PCA_ITER_SQL = (
     f"""
     WITH cov AS ({_cov_sql(_PCA_G_SPIKED)}),
     full_c AS (
@@ -1375,6 +1414,10 @@ ORACLE["emb_pca_power"] = (
 """
         for r in range(1, PCA_ROUNDS + 1)
     )
+)
+
+ORACLE["emb_pca_power"] = (
+    _PCA_ITER_SQL
     + f"""
     SELECT k, v AS comp FROM v{PCA_ROUNDS}
 """
@@ -1408,20 +1451,7 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     exactly how you'd do it: one distributed moment pass, then O(d^2)
     iterations anywhere.  The scalar max|u| rides a crossJoin(broadcast)
     like emb_covariance's n — never a collect."""
-    e = load_spread(spark, sf, "embeddings").select(
-        F.transform(
-            "embedding",
-            lambda v, i: F.round(
-                (
-                    v.cast("double")
-                    + (F.col("vec_id") % 7 - 3)
-                    * 0.5
-                    * F.when((i + 1) % 3 == 0, -1.0).otherwise(1.0)
-                )
-                * COV_GRID
-            ).cast("long"),
-        ).alias("xi")
-    )
+    e = load_spread(spark, sf, "embeddings").select(_spiked_xi().alias("xi"))
     cov = _cov_frame(e).select("i", "j", "cov")
     full_c = cov.unionAll(
         cov.where(F.col("j") > F.col("i")).select(
@@ -1471,15 +1501,14 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE["emb_pca_project"] = (
-    ORACLE["emb_pca_power"].replace(
-        f"SELECT k, v AS comp FROM v{PCA_ROUNDS}",
-        f""",sp AS (SELECT k, v FROM v{PCA_ROUNDS}),
-    rows_g AS ({_PCA_G_SPIKED.replace("SELECT list_transform", "SELECT vec_id, list_transform")})
+    _PCA_ITER_SQL
+    + f""",
+    sp AS (SELECT k, v FROM v{PCA_ROUNDS}),
+    rows_g AS ({_pca_g_spiked("vec_id, ")})
     SELECT r.vec_id AS vec_id,
            CAST(sum(r.xi[sp.k] * sp.v) AS BIGINT) AS proj_grid
     FROM rows_g r CROSS JOIN sp
-    GROUP BY r.vec_id""",
-    )
+    GROUP BY r.vec_id"""
 )
 
 
@@ -1505,19 +1534,7 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     broadcast, no self-join anywhere."""
     comp = QUERIES["emb_pca_power"](spark, sf)  # (k, comp) — d rows
     e = load_spread(spark, sf, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda v, i: F.round(
-                (
-                    v.cast("double")
-                    + (F.col("vec_id") % 7 - 3)
-                    * 0.5
-                    * F.when((i + 1) % 3 == 0, -1.0).otherwise(1.0)
-                )
-                * COV_GRID
-            ).cast("long"),
-        ).alias("xi"),
+        "vec_id", _spiked_xi().alias("xi")
     )
     x = e.select("vec_id", F.posexplode("xi").alias("p", "x"))
     return (
@@ -1580,7 +1597,10 @@ def emb_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
     squared L2 distance to its label centroid, flagged when d2 exceeds
     OUTLIER_FACTOR x the label's mean d2.  Every comparison is between
     BIGINTs — zero float parity surface beyond the two correctly-rounded
-    means.
+    means, and both mean numerators are summed pre-widened to
+    decimal(38,0) to match the oracle's BIGINT-into-HUGEINT sums (d2 is
+    ~4e12/vector on this grid, so a 64-bit Σd2 would overflow past ~2e5
+    vectors per label — the events_zscore overflow class).
 
     Scale shape: centroids come from one posexplode + (label, dim)
     partial agg whose shuffle is model-sized (|labels| x d rows); the
@@ -1604,10 +1624,17 @@ def emb_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(xi)
         .alias("xi"),
     ).localCheckpoint()  # injected grid is reused by two passes below
+    dec = "decimal(38,0)"
     c = (
         g.select("label", F.posexplode("xi").alias("dim", "vc"))
         .groupBy("label", "dim")
-        .agg(F.round(F.sum("vc") / F.count("*")).cast("long").alias("mc"))
+        .agg(
+            F.round(
+                F.sum(F.col("vc").cast(dec)).cast("double") / F.count("*")
+            )
+            .cast("long")
+            .alias("mc")
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -1626,7 +1653,9 @@ def emb_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("d2"),
     )
     t = dist.groupBy("label").agg(
-        F.round(F.sum("d2") / F.count("*")).cast("long").alias("avg_d2")
+        F.round(F.sum(F.col("d2").cast(dec)).cast("double") / F.count("*"))
+        .cast("long")
+        .alias("avg_d2")
     )
     return dist.join(F.broadcast(t), "label").select(
         "vec_id",

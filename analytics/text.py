@@ -1,8 +1,11 @@
 """Text analysis for training-data pipelines over ``documents``.
 
-All four operators are pure native-function pipelines (zero Python UDFs —
-they run inside WholeStageCodegen and scale linearly with input splits),
-each with a DuckDB oracle implementing the identical formula.
+Every operator here is a native-function pipeline (WholeStageCodegen,
+scaling linearly with input splits), each with a DuckDB oracle
+implementing the identical formula — with ONE deliberate exception:
+text_normalize_nfc ships an Arrow-batched pandas UDF, because Unicode
+NFC normalization has no JVM-side builtin (the per-row-Python CI gate
+allows pandas UDFs; see that op's docstring).
 """
 
 from __future__ import annotations
@@ -160,21 +163,29 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-sensitive document fingerprint: position-weighted char/length
     hash, computed with a single indexed HOF fold (no shuffle beyond the
-    per-doc agg) — the cheap first-pass identity for incremental crawls."""
+    per-doc agg) — the cheap first-pass identity for incremental crawls.
+
+    Docs with no non-empty words (empty / whitespace-only / NULL text)
+    are DROPPED to mirror the oracle, whose WHERE word != '' GROUP BY
+    emits no row for them (r05 review: the Spark side used to emit
+    (doc_id, 0) there — a row-count parity break on any corpus with
+    such docs; the shipped fixtures just happen to contain none)."""
     d = load(spark, sf, "documents")
-    terms = F.filter(
-        F.zip_with(
-            F.split("text", " "),
-            F.sequence(F.lit(1), F.size(F.split("text", " "))),
-            lambda w, i: F.when(
-                w != "", i.cast("long") * F.ascii(F.substring(w, 1, 1)) * F.length(w)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        lambda t: t.isNotNull(),
+    words = F.split("text", " ")
+    terms = F.zip_with(
+        words,
+        F.sequence(F.lit(1), F.size(words)),
+        lambda w, i: F.when(
+            w != "", i.cast("long") * F.ascii(F.substring(w, 1, 1)) * F.length(w)
+        ).otherwise(F.lit(0).cast("long")),
     )
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return d.select(
-        "doc_id", F.pmod(total, F.lit(1000000007)).cast("long").alias("fingerprint")
+    return (
+        d.where(F.size(F.filter(words, lambda w: w != "")) > 0)
+        .select(
+            "doc_id",
+            F.pmod(total, F.lit(1000000007)).cast("long").alias("fingerprint"),
+        )
     )
 
 
@@ -1060,7 +1071,10 @@ def doc_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size("ws").cast("long").alias("n_tokens"),
         (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
-        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+        # coalesce mirrors the oracle's md5(coalesce(..., '')): for a
+        # NULL-text doc, kept is NULL and bare md5(array_join) would
+        # NULL-propagate where the oracle pins md5('') (r05 review)
+        F.md5(F.coalesce(F.array_join(kept, " "), F.lit(""))).alias("clean_hash"),
     )
 
 
@@ -1274,13 +1288,17 @@ def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
     f"""
     WITH {_BPE_TRAIN_CTES},
     d0 AS (
+      -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+      -- array_join is '' (the doc_remove_dup_spans device) — without it
+      -- an empty/whitespace-only doc NULL-propagates through every merge
+      -- and emits (NULL, NULL) against Spark's (0, md5(''))
       SELECT doc_id,
-             array_to_string(
+             coalesce(array_to_string(
                list_transform(
                  list_filter(string_split(text, ' '), x -> x != ''),
                  w -> chr(31) || array_to_string(string_split(w, ''), chr(31))
                               || chr(31)),
-               chr(30)) AS s
+               chr(30)), '') AS s
       FROM documents),
     {",".join(
         f"d{i} AS (SELECT doc_id, "
@@ -1290,7 +1308,7 @@ def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
     )}
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
-           md5(array_to_string(toks, chr(31))) AS tokens_md5
+           md5(coalesce(array_to_string(toks, chr(31)), '')) AS tokens_md5
     FROM (SELECT doc_id,
                  list_filter(string_split(replace(s, chr(30), chr(31)), chr(31)),
                              x -> x != '') AS toks
@@ -1319,12 +1337,15 @@ def bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     linear chain of BroadcastNestedLoopJoins feeding one projection."""
     d = load(spark, sf, "documents")
     bests = _bpe_train_merges(d)
+    # coalesce for NULL-text docs: split(NULL) NULL-propagates through
+    # array_join on the Spark side exactly like array_to_string does in
+    # the oracle — both sides pin '' so such docs tokenize to (0, md5(''))
     s = d.select(
         "doc_id",
         F.expr(
-            "array_join(transform(filter(split(text, ' '), x -> x != ''), "
+            "coalesce(array_join(transform(filter(split(text, ' '), x -> x != ''), "
             "w -> concat(chr(31), array_join(split(w, ''), chr(31)), chr(31))), "
-            "chr(30))"
+            "chr(30)), '')"
         ).alias("s"),
     )
     for best in bests:
@@ -1461,13 +1482,25 @@ def index_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     df and the 1-row stats are broadcast-sized; the global top-k is
     TakeOrdered (no full sort)."""
     tf, df, dl, stats = _bm25_parts(spark, sf)
-    s = _bm25_exact(tf, df, dl, stats)
-    wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
+    return _bm25_topk_ranked(_bm25_exact(tf, df, dl, stats))
+
+
+def _bm25_topk_ranked(s: DataFrame) -> DataFrame:
+    """(doc_id, bm25, rk) top-BM25_TOPK off a scored frame.  orderBy +
+    limit plans TakeOrderedAndProject — per-partition top-k heaps merged
+    at the driver, k rows moved — and the rk window then sorts only the
+    k survivors.  The previous bare row_number() window with no
+    partitionBy single-task-sorted EVERY doc matching any query term
+    (~10^8 postings for a common term at web scale) — exactly the skew
+    pole the docstring's 'TakeOrdered (no full sort)' claim promises to
+    avoid (r05 review)."""
+    ranked = (
         s.select("doc_id", F.round("score", 6).alias("bm25"))
-        .withColumn("rk", F.row_number().over(wnd))
-        .where(F.col("rk") <= BM25_TOPK)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
     )
+    wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return ranked.withColumn("rk", F.row_number().over(wnd))
 
 
 def _bm25_idf():
@@ -1591,14 +1624,10 @@ def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
     )
     # phase 3: exact scores for survivors only
-    s = _bm25_exact(
-        tf.join(F.broadcast(survivors), "doc_id", "left_semi"), df, dl, stats
-    )
-    wnd = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
-        s.select("doc_id", F.round("score", 6).alias("bm25"))
-        .withColumn("rk", F.row_number().over(wnd))
-        .where(F.col("rk") <= BM25_TOPK)
+    return _bm25_topk_ranked(
+        _bm25_exact(
+            tf.join(F.broadcast(survivors), "doc_id", "left_semi"), df, dl, stats
+        )
     )
 
 
@@ -1688,12 +1717,12 @@ def doc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 QC_D = 4096  # feature buckets (3 hex chars of md5 — exact, no modulo bias)
 
 
-ORACLE["doc_quality_classifier"] = """
+ORACLE["doc_quality_classifier"] = f"""
     WITH w AS (
       SELECT b,
              CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 4)) AS INT)
                - 32768 AS wt
-      FROM range(4096) t(b)),
+      FROM range({QC_D}) t(b)),
     tok AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(x), 1, 3)) AS INT) AS b
@@ -1770,16 +1799,16 @@ def doc_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 SPELL_CORRUPT_MOD = 9  # ~11% of (doc, word) pairs get one char deleted
 
 
-ORACLE["vocab_spell_correct"] = """
+ORACLE["vocab_spell_correct"] = f"""
     WITH tok AS (
       SELECT doc_id, x AS w
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS x
             FROM documents)
-      WHERE regexp_matches(x, '^[a-z]{4,}$')),
+      WHERE regexp_matches(x, '^[a-z]{{4,}}$')),
     c AS (
       SELECT w,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || w),
-                   1, 4)) AS BIGINT) % 9 = 0 AS bad,
+                   1, 4)) AS BIGINT) % {SPELL_CORRUPT_MOD} = 0 AS bad,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || w
                    || ':d'), 1, 2)) AS BIGINT) % length(w) AS INT) AS di
       FROM tok),
@@ -1894,7 +1923,7 @@ CMS_WIDTH = 4096  # 3 hex chars of md5 — exact, no modulo bias
 CMS_TOPK = 20
 
 
-ORACLE["corpus_cms_counts"] = """
+ORACLE["corpus_cms_counts"] = f"""
     WITH tok AS (
       SELECT x AS w
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS x
@@ -1905,17 +1934,17 @@ ORACLE["corpus_cms_counts"] = """
              CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 3))
                AS INT) AS c,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM tok CROSS JOIN range(4) t(i)
+      FROM tok CROSS JOIN range({CMS_DEPTH}) t(i)
       GROUP BY 1, 2),
     topk AS (
       SELECT w, CAST(count(*) AS BIGINT) AS n_true
-      FROM tok GROUP BY w ORDER BY n_true DESC, w LIMIT 20),
+      FROM tok GROUP BY w ORDER BY n_true DESC, w LIMIT {CMS_TOPK}),
     est AS (
       SELECT q.w, min(cells.cnt) AS n_est
       FROM (SELECT t.w, i AS r,
                    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t.w),
                          1, 3)) AS INT) AS c
-            FROM topk t CROSS JOIN range(4) r(i)) q
+            FROM topk t CROSS JOIN range({CMS_DEPTH}) r(i)) q
       JOIN cells USING (r, c)
       GROUP BY q.w)
     SELECT t.w AS term, t.n_true, e.n_est

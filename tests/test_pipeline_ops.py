@@ -2790,3 +2790,44 @@ def test_hist_med2_ignores_nulls(spark):
     )
     got = {r["k"]: r["m2"] for r in _hist_med2(df, "k", "v", "m2").collect()}
     assert got == {"a": 4, "b": 10}
+
+
+def test_empty_and_null_text_docs_parity(spark, tmp_path):
+    """Empty / whitespace-only / NULL text docs must agree with the DuckDB
+    oracles (r05 review: doc_fingerprint emitted rows its oracle drops;
+    bpe_apply and doc_remove_dup_spans NULL-propagated on one engine
+    only).  The shipped fixtures contain no such docs, so this builds a
+    corpus that does."""
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as se
+    from analytics.common import TABLES
+
+    dst = str(tmp_path / "edge")
+    shutil.copytree(SF_TEST, dst)
+    tbl = pq.read_table(f"{SF_TEST}/documents.parquet")
+    docs = tbl.to_pylist()
+    base = dict(docs[0])
+    for i, txt in [(9001, ""), (9002, "   "), (9003, None)]:
+        r = dict(base)
+        r["doc_id"], r["text"] = i, txt
+        docs.append(r)
+    pq.write_table(
+        pa.Table.from_pylist(docs, schema=tbl.schema), f"{dst}/documents.parquet"
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet')"
+        )
+    qs, oracles = se.queries(), se.oracle_sql()
+    for name in ["doc_fingerprint", "bpe_apply", "doc_remove_dup_spans"]:
+        df = qs[name](spark, dst)
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+        assert len(got) == len(want), name
+        assert got == want, name

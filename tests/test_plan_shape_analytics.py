@@ -651,3 +651,15 @@ def test_pf6_dpp_prunes_fact_partitions(spark):
     assert "PartitionFilters" in p
     pf = p.split("PartitionFilters")[1][:300]
     assert "event_type" in pf
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The global top-k in both BM25 consumers plans TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver), not a bare unpartitioned
+    row_number window that would single-task-sort every matching posting
+    (r05 review — the doc_global_order skew pole)."""
+    from analytics import text as T
+
+    for fn in (T.index_bm25_topk, T.index_wand_topk):
+        p = plan(fn(spark, SF_TEST))
+        assert "TakeOrderedAndProject" in p, fn.__name__

@@ -13,6 +13,8 @@ ST3-ST5.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -81,11 +83,15 @@ def sc8_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     itself is an ordinary join+agg any engine can oracle."""
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     base = f"/tmp/spider_sc8_{tag}"
+    # ONE sanitized suffix for write and read: any non-identifier char
+    # (not just '.') would throw ParseException in the unquoted table
+    # name, and a second hand-derived copy could drift from this one
+    suffix = re.sub(r"[^A-Za-z0-9_]", "_", tag)
     for name, src, key in (
         ("orders", "orders", "o_custkey"),
         ("customer", "customer", "c_custkey"),
     ):
-        tbl = f"sc8_{name}_{tag.replace('.', '_')}"
+        tbl = f"sc8_{name}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             load(spark, sf, src)
@@ -96,7 +102,6 @@ def sc8_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(tbl)
         )
-    suffix = tag.replace(".", "_")
     o = spark.table(f"sc8_orders_{suffix}")
     c = spark.table(f"sc8_customer_{suffix}")
     return (
@@ -359,6 +364,7 @@ def j8_cross_join(spark: SparkSession, sf: str) -> DataFrame:
 )
 def a1_hash_agg(spark: SparkSession, sf: str) -> DataFrame:
     """A1: TPC-H Q1-style hash aggregation (partial+final automatic)."""
+    utc(spark)  # string->timestamp literal must not shift with session TZ
     li = load(spark, sf, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -1017,7 +1023,10 @@ def u2_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation").select("n_nationkey")
     sub = load(spark, sf, "nation").where(F.col("n_regionkey").isin(0, 1)).select("n_nationkey")
     both = n.intersect(sub).select(F.lit("both").alias("tag"), "n_nationkey")
-    only_a = n.exceptAll(sub).distinct().select(F.lit("only_a").alias("tag"), "n_nationkey")
+    # subtract IS EXCEPT DISTINCT; exceptAll().distinct() keeps a value
+    # that appears twice left / once right, which EXCEPT drops (r05
+    # review — safe today only because n_nationkey is unique)
+    only_a = n.subtract(sub).select(F.lit("only_a").alias("tag"), "n_nationkey")
     return both.unionByName(only_a)
 
 
@@ -1230,14 +1239,18 @@ def st4_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     "st5_session_window",
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     s AS (
       SELECT user_id, ts, value,
+             -- (ts, event_id) tie-break like the lag above: ts-only order
+             -- is unspecified between equal timestamps, and a flag-0 peer
+             -- sorted before its session's flag-1 starter would split the
+             -- session (r05 review; w3/w4/a5/w5/scd2 all carry the key)
              sum(CASE WHEN prev_ts IS NULL
                         OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
       FROM o)
     SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,

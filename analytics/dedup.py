@@ -72,39 +72,66 @@ def _shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
     kind of plan that dies first at 100x corpus scale).  The DuckDB oracle
     keeps the window formulation; both produce the same distinct
     (doc_id, shingle) set."""
-    d = load_spread(spark, sf, "documents")
-    words = F.split("text", " ")
-    n = F.size(words)
-    # cheap pre-filter BEFORE the trigram build: docs with <3 words have no
-    # trigrams, so dropping them here is semantics-preserving for every
-    # consumer (explode drops empty arrays; minhash skips empty docs).  The
-    # filter must stay CHEAP: Catalyst pushes filters below load_spread's
-    # repartition, and the r03 formulation — a downstream
-    # where(size(shingles) > 0) — dragged the whole interpreted trigram
-    # build onto the single-file scan partition, serializing it (measured
-    # 3.5 s of dedup_minhash_lsh's 8 s sf0.1 wall).
-    d = d.where(n >= 3)
-    tri = F.transform(
-        F.sequence(F.lit(1), n - 2),
+    return _trigram_words(load_spread(spark, sf, "documents")).select(
+        "doc_id", F.array_distinct(_tri_expr()).alias("shingles")
+    )
+
+
+def _trigram_words(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, ws) word-array stage shared by every
+    trigram consumer (r05 review: the split-CSE fix below lived only in
+    containment's private copy while five queries paid double).
+
+    The word array is materialized as a COLUMN before the trigram HOF:
+    the interpreted lambda does not CSE an inlined split(text), so
+    element_at(split(text), i) re-splits the doc per element — measured
+    2x on the build (0.58 s -> 0.29 s at sf0.1 in containment; 8.6 s ->
+    4.4 s on dedup_ngram_jaccard through this shared path).
+
+    Docs with <3 words are pre-filtered BEFORE the build: they have no
+    trigrams, so dropping them is semantics-preserving for every
+    consumer (explode drops empty arrays; minhash skips empty docs), and
+    the filter must stay CHEAP — Catalyst pushes it below load_spread's
+    repartition, while the r03 formulation (a downstream
+    where(size(shingles) > 0)) dragged the whole interpreted trigram
+    build onto the single-file scan partition, serializing it (measured
+    3.5 s of dedup_minhash_lsh's 8 s sf0.1 wall)."""
+    return corpus.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 3
+    )
+
+
+def _tri_expr():
+    """Distinct word-trigram expression over the materialized ws column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
         ),
     )
-    # sequence(1, n-2) would count DOWN for n < 3 — guard to an empty array
-    shingles = F.when(n >= 3, F.array_distinct(tri)).otherwise(
-        F.array().cast("array<string>")
+
+
+def _trigram_shingles(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> exploded (doc_id, shingle) rows.
+
+    The explode wraps the trigram EXPRESSION, never a projected column:
+    exploding a column ref triggers Catalyst's InferFiltersFromGenerate,
+    which pushes size(col) > 0 AND isnotnull(col) into the scan Filter —
+    silently duplicating the whole interpreted trigram build per row
+    (measured 2.4 s -> 7 s on dedup_containment when routed through the
+    column form).  With the expression inside the Generate no such
+    filter is inferred."""
+    return _trigram_words(corpus).select(
+        "doc_id", F.explode(F.array_distinct(_tri_expr())).alias("shingle")
     )
-    return d.select("doc_id", shingles.alias("shingles"))
 
 
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Exploded (doc_id, shingle) rows — the inverted-index join's input."""
-    return _shingle_arrays(spark, sf).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    return _trigram_shingles(load_spread(spark, sf, "documents"))
 
 
 _SHINGLES_SQL = """
@@ -239,8 +266,12 @@ def minhash_signatures_banded(shingle_arrays: DataFrame) -> DataFrame:
         # back per-row; caller filters empties so this is cold
         if not len(arr):
             return None
+        # same uint64 wrap-cast as the vectorized path (r05 review: this
+        # referenced an undefined name, so the documented defense could
+        # only ever NameError — now pinned by a direct pytest)
+        h64 = np.asarray(arr, dtype=np.uint64)
         sig = [
-            int(((a * np.uint64(h) + b) % np.uint64(_MERSENNE)).min())
+            int(((a * h64 + b) % np.uint64(_MERSENNE)).min())
             for a, b in zip(a_vec, b_vec)
         ]
         m = _band_hashes_np(
@@ -458,16 +489,18 @@ def _dup_pair_edges(spark: SparkSession, sf: str) -> DataFrame:
     duplicates (each doc linked to its hash-group min — a star per group,
     same components as the all-pairs clique at a fraction of the edges)
     UNION trigram-Jaccard near-dup pairs (≥ 0.12, the oracled threshold)."""
+    docs = load(spark, sf, "documents").select(
+        F.md5("text").alias("ch_b"), F.col("doc_id").alias("b")
+    )
     exact = (
         dedup_exact(spark, sf)
         .where(F.col("n_docs") > 1)
         .select("content_hash", F.col("keep_doc").alias("a"))
-        .join(
-            load(spark, sf, "documents").select(
-                F.md5("text").alias("content_hash"), F.col("doc_id").alias("b")
-            ),
-            "content_hash",
-        )
+        # null-safe: md5(NULL text) is NULL on both engines, and the
+        # oracle's min() OVER (PARTITION BY md5(text)) groups the NULL
+        # hash into one partition — a plain equi-join would silently drop
+        # those duplicate edges (r05 review)
+        .join(docs, F.col("content_hash").eqNullSafe(F.col("ch_b")))
         .where(F.col("a") != F.col("b"))
         .select("a", "b")
     )
@@ -750,7 +783,9 @@ ORACLE["dedup_containment"] = f"""
 
 
 @q("dedup_containment")
-def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf: str, _eager: bool = True
+) -> DataFrame:
     """Asymmetric containment pairs over the trigram inverted index:
     emit (d1, d2) where ≥ 0.7 (CONT_THRESHOLD) of d1's distinct shingles
     appear in d2 — quote/syndication detection that resemblance dedup
@@ -778,30 +813,17 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(quotes)
-    # materialize the word array as a COLUMN before the trigram HOF: the
-    # interpreted lambda does not CSE an inlined split(text), so
-    # element_at(split(text), i) re-splits the doc per element — measured
-    # 2x on the build (0.58 s -> 0.29 s at sf0.1)
-    w = corpus.select("doc_id", F.split("text", " ").alias("ws")).where(
-        F.size("ws") >= 3
-    )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("ws"), i),
-            F.element_at(F.col("ws"), i + 1),
-            F.element_at(F.col("ws"), i + 2),
-        ),
-    )
     # localCheckpoint, NOT persist: this topology fans the shingle rows
     # into 4 independent AQE query-stage materializations (join side a,
     # side b, sizes, and the union's second branch), and a lazy persist
     # loses the race — measured 13 jobs re-running the trigram build ~8x
     # for a 6.3 s wall; the eager lineage cut bounds it to one build.
-    shd = w.select(
-        "doc_id", F.explode(F.array_distinct(tri)).alias("shingle")
-    ).localCheckpoint()
+    # _eager=False keeps the lineage lazy so the plan-shape test can see
+    # the real index join instead of an ExistingRDD scan (r05 review —
+    # the checkpointed plan made the test's join assertions vacuous).
+    shd = _trigram_shingles(corpus)
+    if _eager:
+        shd = shd.localCheckpoint()
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shd.alias("a")
     b = shd.alias("b")
@@ -817,9 +839,11 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("n_common"))
-        .localCheckpoint()  # pair table is collision-bounded; without the
-        # cut the Union's two branches each re-run the index join + agg
     )
+    if _eager:
+        # pair table is collision-bounded; without the cut the Union's
+        # two branches each re-run the index join + agg
+        half = half.localCheckpoint()
     inter = half.unionByName(
         half.select(
             F.col("d2").alias("d1"), F.col("d1").alias("d2"), "n_common"

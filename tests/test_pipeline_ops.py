@@ -2831,3 +2831,32 @@ def test_empty_and_null_text_docs_parity(spark, tmp_path):
         want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
         assert len(got) == len(want), name
         assert got == want, name
+
+
+def test_minhash_fallback_path_matches_vectorized(spark):
+    """A batch containing an empty shingle array routes the WHOLE batch
+    through _row_fallback; its signatures must equal the vectorized
+    path's for the same docs, and the empty doc must yield nulls (r05
+    review: the fallback referenced an undefined name and could only
+    NameError)."""
+    from analytics import dedup as D
+
+    full = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["x y z"])],
+        "doc_id long, shingles array<string>",
+    ).coalesce(1)
+    with_empty = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["x y z"]), (3, [])],
+        "doc_id long, shingles array<string>",
+    ).coalesce(1)
+    want = {
+        r["doc_id"]: (r["sig"], r["bands"])
+        for r in D.minhash_signatures_banded(full).collect()
+    }
+    got = {
+        r["doc_id"]: (r["sig"], r["bands"])
+        for r in D.minhash_signatures_banded(with_empty).collect()
+    }
+    assert got[3] == (None, None)
+    for d in (1, 2):
+        assert got[d] == want[d], d

@@ -607,11 +607,21 @@ def test_crawl_trap_hosts_windows_over_rollup(spark):
 
 def test_dedup_containment_index_join_partial_agg(spark):
     """Candidate pairs come from the shingle-equality index join with a
-    map-side partial count; no Python, no nested-loop all-pairs."""
+    map-side partial count; no Python, no nested-loop all-pairs.
+
+    _eager=False keeps the lineage lazy: the production localCheckpoints
+    hide the index join behind ExistingRDD scans, which made these
+    assertions vacuous (r05 review) — a regression to an all-pairs or
+    Python-eval candidate join would have passed unseen."""
     from analytics import dedup as D
 
     spark.catalog.clearCache()
-    p = plan(D.dedup_containment(spark, SF_TEST))
+    p = plan(D.dedup_containment(spark, SF_TEST, _eager=False))
+    # any equi-HASH join is the index-join shape (BHJ at tiny sf, SMJ/SHJ
+    # at scale) — the banned shapes below are the regression
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
     assert "partial_count" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

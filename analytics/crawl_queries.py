@@ -16,7 +16,7 @@ rows-only; their exactness is covered by tests/ (pytest vs pyref oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from analytics.common import load
@@ -34,6 +34,10 @@ ORACLE: dict = {}
 
 def q(name: str, sql: str | None = None):
     def deco(fn):
+        # intra-module twin of __spark_entry__'s cross-module guard: a
+        # pasted-and-unrenamed @q block must fail loudly, not silently
+        # replace the original query and its oracle (r05 review)
+        assert name not in QUERIES, f"duplicate query name {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -42,13 +46,24 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+# one definition of the synthetic 211-host frontier key, shared by
+# _synth_frontier and recrawl_priority on both engines
+_FRONTIER_HOST_SQL = "'h' || lpad(CAST(o_custkey % 211 AS VARCHAR), 4, '0')"
+
+
+def _frontier_host():
+    return F.concat(
+        F.lit("h"), F.lpad(F.pmod("o_custkey", F.lit(211)).cast("string"), 4, "0")
+    )
+
+
 def _synth_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic frontier derived from orders (shared by pop/merge)."""
     o = load(spark, sf, "orders")
     hostnum = F.pmod("o_custkey", F.lit(211))
     return o.select(
         F.col("o_orderkey").alias("url_hash"),
-        F.concat(F.lit("h"), F.lpad(hostnum.cast("string"), 4, "0")).alias("host"),
+        _frontier_host().alias("host"),
         F.pmod("o_orderkey", F.lit(4)).cast("int").alias("depth"),
         (
             F.pmod("o_orderkey", F.lit(4)).cast("double")
@@ -58,9 +73,9 @@ def _synth_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SYNTH_FRONTIER_SQL = """
+_SYNTH_FRONTIER_SQL = f"""
   SELECT o_orderkey AS url_hash,
-         'h' || lpad(CAST(o_custkey % 211 AS VARCHAR), 4, '0') AS host,
+         {_FRONTIER_HOST_SQL} AS host,
          CAST(o_orderkey % 4 AS INT) AS depth,
          CAST(o_orderkey % 4 AS DOUBLE) + CAST(o_orderkey % 7 AS DOUBLE) * 0.25 AS priority,
          CAST(1 + (o_custkey % 211) % 5 AS INT) AS k
@@ -317,10 +332,10 @@ def synth_fetch_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "recrawl_priority",
-    """
+    f"""
     WITH f AS (
       SELECT o_orderkey AS url_hash,
-             'h' || lpad(CAST(o_custkey % 211 AS VARCHAR), 4, '0') AS host,
+             {_FRONTIER_HOST_SQL} AS host,
              CAST(o_orderkey % 20 AS INT) AS last_crawl_epoch,
              CAST(o_custkey % 10 AS DOUBLE) / 10.0 AS change_rate
       FROM orders),
@@ -349,9 +364,7 @@ def recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     f = o.select(
         F.col("o_orderkey").alias("url_hash"),
-        F.concat(
-            F.lit("h"), F.lpad((F.col("o_custkey") % 211).cast("string"), 4, "0")
-        ).alias("host"),
+        _frontier_host().alias("host"),
         (F.col("o_orderkey") % 20).cast("int").alias("last_crawl_epoch"),
         ((F.col("o_custkey") % 10).cast("double") / 10.0).alias("change_rate"),
     )
@@ -365,8 +378,6 @@ def recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("recrawl_score"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("host").orderBy(F.col("recrawl_score").desc(), "url_hash")
     return (
         s.withColumn("rk", F.row_number().over(w))
@@ -375,22 +386,85 @@ def recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "url_template_topk",
-    """
-    WITH u AS (
-      SELECT 'host' || lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0') AS host,
-             CASE WHEN o_orderkey % 3 = 0
+# --- shared synthetic URL space (url_template_topk / crawl_trap_hosts) ------
+# ONE definition of the 97-host synthetic URL space on each engine: the
+# trap detector consumes the template rollup by construction, so the
+# synthesis must never drift between the two queries (r05 review: it was
+# hand-copied in four places).
+_URL_HOST_SQL = "'host' || lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0')"
+
+
+def _url_host():
+    return F.concat(
+        F.lit("host"), F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")
+    )
+
+
+def _url_path_sql(extra_when: str = "") -> str:
+    """The synthetic path CASE; callers may prepend an extra WHEN branch
+    (crawl_trap_hosts' calendar generator)."""
+    return (
+        "CASE "
+        + extra_when
+        + """WHEN o_orderkey % 3 = 0
                   THEN 'item/' || CAST(o_orderkey AS VARCHAR) || '/view'
                   WHEN o_orderkey % 3 = 1
                   THEN 'page/' || CAST(o_orderkey AS VARCHAR)
                   ELSE 'cat/' || CAST(o_custkey % 11 AS VARCHAR)
                        || '/page/' || CAST(o_orderkey AS VARCHAR)
-             END AS path
+             END"""
+    )
+
+
+def _url_space_sql(extra_when: str = "") -> str:
+    """u (host, path) + t (host, template, cnt) CTE pair."""
+    return f"""u AS (
+      SELECT {_URL_HOST_SQL} AS host,
+             {_url_path_sql(extra_when)} AS path
       FROM orders),
     t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
                  CAST(count(*) AS BIGINT) AS cnt
-          FROM u GROUP BY 1, 2)
+          FROM u GROUP BY 1, 2)"""
+
+
+def _url_path():
+    """Spark twin of _url_path_sql's base branches."""
+    return (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit("item/"), F.col("o_orderkey").cast("string"), F.lit("/view")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("page/"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cat/"),
+                (F.col("o_custkey") % 11).cast("string"),
+                F.lit("/page/"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+    )
+
+
+def _template_rollup(o: DataFrame, path) -> DataFrame:
+    """(host, template, cnt) — digit-collapsed per-host template counts."""
+    return (
+        o.select(_url_host().alias("host"), path.alias("path"))
+        .select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "url_template_topk",
+    f"""
+    WITH {_url_space_sql()}
     SELECT host, template, cnt, CAST(rk AS INT) AS rk FROM (
       SELECT *, row_number() OVER (PARTITION BY host
                                    ORDER BY cnt DESC, template) AS rk
@@ -410,35 +484,7 @@ def url_template_topk(spark: SparkSession, sf: str) -> DataFrame:
     no pole).  Deterministic synthetic paths derived from ``orders`` so
     the DuckDB twin value-hashes the full result."""
     o = load(spark, sf, "orders")
-    path = (
-        F.when(
-            F.col("o_orderkey") % 3 == 0,
-            F.concat(F.lit("item/"), F.col("o_orderkey").cast("string"), F.lit("/view")),
-        )
-        .when(
-            F.col("o_orderkey") % 3 == 1,
-            F.concat(F.lit("page/"), F.col("o_orderkey").cast("string")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("cat/"),
-                (F.col("o_custkey") % 11).cast("string"),
-                F.lit("/page/"),
-                F.col("o_orderkey").cast("string"),
-            )
-        )
-    )
-    host = F.concat(
-        F.lit("host"), F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")
-    )
-    t = (
-        o.select(host.alias("host"), path.alias("path"))
-        .select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
-        .groupBy("host", "template")
-        .agg(F.count("*").alias("cnt"))
-    )
-    from pyspark.sql import Window
-
+    t = _template_rollup(o, _url_path())
     w = Window.partitionBy("host").orderBy(F.col("cnt").desc(), "template")
     return (
         t.withColumn("rk", F.row_number().over(w))
@@ -520,28 +566,18 @@ TRAP_SHARE_PCT = 60
 TRAP_MIN_URLS = 20
 
 
-@q(
-    "crawl_trap_hosts",
-    f"""
-    WITH u AS (
-      SELECT 'host' || lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0') AS host,
-             CASE WHEN CAST(('0x' || substr(md5('host' ||
-                         lpad(CAST(o_custkey % 97 AS VARCHAR), 2, '0')),
+_TRAP_WHEN_SQL = f"""WHEN CAST(('0x' || substr(md5({_URL_HOST_SQL}),
                          1, 4)) AS INT) % 8 = 0
                   THEN 'cal/' || CAST(year(o_orderdate) AS VARCHAR)
                        || '/' || CAST(month(o_orderdate) AS VARCHAR)
                        || '/' || CAST(day(o_orderdate) AS VARCHAR)
-                  WHEN o_orderkey % 3 = 0
-                  THEN 'item/' || CAST(o_orderkey AS VARCHAR) || '/view'
-                  WHEN o_orderkey % 3 = 1
-                  THEN 'page/' || CAST(o_orderkey AS VARCHAR)
-                  ELSE 'cat/' || CAST(o_custkey % 11 AS VARCHAR)
-                       || '/page/' || CAST(o_orderkey AS VARCHAR)
-             END AS path
-      FROM orders),
-    t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
-                 CAST(count(*) AS BIGINT) AS cnt
-          FROM u GROUP BY 1, 2),
+                  """
+
+
+@q(
+    "crawl_trap_hosts",
+    f"""
+    WITH {_url_space_sql(_TRAP_WHEN_SQL)},
     s AS (SELECT host, template, cnt,
                  CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_urls,
                  CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
@@ -568,52 +604,22 @@ def crawl_trap_hosts(spark: SparkSession, sf: str) -> DataFrame:
     URLs-per-host, so the 10^9-URL calendar trap itself costs one
     aggregated row.  This is the signal engine/frontier.py's politeness
     budgets would consume to cap per-template pops."""
-    from pyspark.sql import Window
-
     o = load(spark, sf, "orders")
-    host = F.concat(
-        F.lit("host"), F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")
-    )
     trap = (
-        F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("int") % 8 == 0
+        F.conv(F.substring(F.md5(_url_host()), 1, 4), 16, 10).cast("int") % 8 == 0
     )
-    path = (
-        F.when(
-            trap,
-            F.concat(
-                F.lit("cal/"),
-                F.year("o_orderdate").cast("string"),
-                F.lit("/"),
-                F.month("o_orderdate").cast("string"),
-                F.lit("/"),
-                F.dayofmonth("o_orderdate").cast("string"),
-            ),
-        )
-        .when(
-            F.col("o_orderkey") % 3 == 0,
-            F.concat(
-                F.lit("item/"), F.col("o_orderkey").cast("string"), F.lit("/view")
-            ),
-        )
-        .when(
-            F.col("o_orderkey") % 3 == 1,
-            F.concat(F.lit("page/"), F.col("o_orderkey").cast("string")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("cat/"),
-                (F.col("o_custkey") % 11).cast("string"),
-                F.lit("/page/"),
-                F.col("o_orderkey").cast("string"),
-            )
-        )
-    )
-    t = (
-        o.select(host.alias("host"), path.alias("path"))
-        .select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
-        .groupBy("host", "template")
-        .agg(F.count("*").alias("cnt"))
-    )
+    path = F.when(
+        trap,
+        F.concat(
+            F.lit("cal/"),
+            F.year("o_orderdate").cast("string"),
+            F.lit("/"),
+            F.month("o_orderdate").cast("string"),
+            F.lit("/"),
+            F.dayofmonth("o_orderdate").cast("string"),
+        ),
+    ).otherwise(_url_path())
+    t = _template_rollup(o, path)
     wh = Window.partitionBy("host")
     wr = Window.partitionBy("host").orderBy(F.col("cnt").desc(), "template")
     s = (

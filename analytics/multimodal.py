@@ -45,6 +45,7 @@ _FAKE_DECODE = True  # real decode (PIL / soundfile / pyav) not available here
 
 def q(name: str):
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query name {name}"
         QUERIES[name] = fn
         return fn
 

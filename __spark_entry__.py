@@ -114,7 +114,9 @@ _FRONT = (
     "sc8_bucketed_join",
     "ann_hard_negatives",
     "index_postings",
-    "layout_zorder",
+    # layout_zorder displaced for a 5n slot: its oracle shares the identical
+    # bit-interleave expression text, so the local parity pass plus the
+    # bounding-box pytest already pin everything a driver row would
     "events_gapfill",
     "index_bm25_topk",
     "emb_cluster_sample",
@@ -142,9 +144,14 @@ _FRONT = (
     "link_anchor_topk",
     "emb_covariance",
     "layout_compact_small_files",
-    "link_bfs_depth",
-    "events_ab_ttest",
-    "emb_pca_power",
+    # round-5n ops (newest — least audited, so they take the final slots;
+    # the three 5h ops they displace — link_bfs_depth, events_ab_ttest,
+    # emb_pca_power — are all-integer/exact-recompute ops whose derived
+    # evidence class is the strongest of any out-of-window entry)
+    "link_ppr",
+    "index_rrf_hybrid",
+    "media_caption_pairs",
+    "bpe_compression_curve",
 )
 
 

@@ -814,3 +814,98 @@ def link_cocitation_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= COCITE_TOPK)
         .select("a", "b", "cnt", "rn")
     )
+
+
+# --- personalized PageRank -------------------------------------------------
+# Topic-sensitive PageRank (Haveliwala, WWW'02): the damping reset mass
+# returns to a SEED SET instead of uniformly, so scores measure proximity
+# to the seeds — the primitive behind focused-crawl prioritization
+# ("crawl pages near the trusted seed list first") and TrustRank-style
+# spam demotion.  Same deterministic lineitem graph, damping and trip
+# count as link_pagerank; seeds are every PPR_SEED_MOD-th node.
+PPR_SEED_MOD = 16
+
+
+def _ppr_iter_sql(i: int) -> str:
+    return f"""
+  pp{i} AS (SELECT n.node,
+                   CASE WHEN n.node % {PPR_SEED_MOD} = 0
+                        THEN CAST(1.0 - {DAMPING} AS DOUBLE) ELSE 0.0 END
+                   + CAST({DAMPING} AS DOUBLE)
+                     * coalesce(sum(p.pr / o.deg), 0) AS pr
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN outdeg o ON o.src = e.src
+            LEFT JOIN pp{i - 1} p ON p.node = e.src
+            GROUP BY n.node)
+"""
+
+
+@q(
+    "link_ppr",
+    "WITH "
+    + ",".join(
+        [
+            _GRAPH_SQL,
+            f"""
+  pp0 AS (SELECT node,
+                 CASE WHEN node % {PPR_SEED_MOD} = 0
+                      THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS pr
+          FROM nodes)""",
+        ]
+        + [_ppr_iter_sql(i) for i in range(1, N_ITER + 1)]
+    )
+    + f"""
+    SELECT node, round(pr, 4) AS ppr FROM pp{N_ITER} WHERE round(pr, 4) > 0
+    """,
+)
+def link_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the seed set (node % PPR_SEED_MOD == 0):
+    4 power iterations of pr' = (1-d)*reset + d * Σ pr(u)/deg(u) with the
+    reset mass concentrated on the seeds, returning nodes with non-zero
+    rounded score (unreached nodes are exactly 0.0 — the seed-proximity
+    frontier after 4 hops, cf. link_bfs_depth's ring cutoff).
+
+    Parity device: identical to link_pagerank — the per-round arithmetic
+    tree is the same fixed shape in both engines, the reset CASE is
+    integer-exact, and the single round(·, 4) pins the output; the
+    WHERE > 0 cut compares the ROUNDED value so both engines cut the
+    same rows.
+
+    Scale shape: identical to link_pagerank (one co-partitioned
+    join + partial-agg shuffle per round, edges/outdeg/nodes
+    checkpointed once, per-round localCheckpoint, AQE skew-split on hub
+    dsts).  The only difference is the reset expression — personalization
+    adds ZERO distributed cost, which is exactly why topic-sensitive PR
+    is practical as a per-topic batch family at web scale."""
+    edges = _link_edges(spark, sf)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = _link_nodes(edges)
+    reset = F.when(F.col("node") % PPR_SEED_MOD == 0, F.lit(1.0 - DAMPING)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.withColumn(
+        "pr",
+        F.when(F.col("node") % PPR_SEED_MOD == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    for _ in range(N_ITER):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (reset + F.lit(DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.round("pr", 4).alias("ppr"))
+        .where(F.col("ppr") > 0)
+    )

@@ -329,3 +329,103 @@ def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
     text packer's concat-and-chunk contract already allows."""
     d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
     return interleave_pack(d).drop("source")
+
+
+# --- media→caption pair mining ---------------------------------------------
+ORACLE["media_caption_pairs"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), ' +') AS words,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_words
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, words, n_words,
+             unnest(generate_series(
+               0, CAST(ceil(n_words / {PACK_W}.0) AS BIGINT) - 1)) AS i
+      FROM d),
+    m AS (
+      SELECT doc_id, words, i,
+             md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h,
+             least({PACK_W}, n_words - i * {PACK_W}) AS cap_tok
+      FROM c)
+    SELECT doc_id,
+           CAST(2 * i + 1 AS BIGINT) AS media_pos,
+           CASE WHEN substring(h, 2, 1) <= '4' THEN 'image'
+                WHEN substring(h, 2, 1) <= '9' THEN 'audio'
+                ELSE 'video' END AS kind,
+           array_to_string(
+             list_slice(words, i * {PACK_W} + 1, i * {PACK_W} + cap_tok),
+             ' ') AS caption,
+           CAST(cap_tok AS BIGINT) AS cap_tok
+    FROM m WHERE substring(h, 1, 1) <= '4'
+    """
+
+
+@q("media_caption_pairs")
+def media_caption_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(media span → caption) pair mining over the interleaved corpus —
+    the MMC4/OBELICS primitive that turns interleaved text+media
+    documents into aligned training pairs: each media span is paired
+    with its ADJACENT preceding text span's actual words (production
+    systems then re-rank candidate pairings with CLIP similarity; the
+    adjacency pairing is the deterministic backbone they all start
+    from).
+
+    Spans are the SAME deterministic synthesis as media_interleaved_pack
+    (md5 chunk digits decide media presence at ~5/16 of positions and
+    the image/audio/video kind), so the pair set is exactly the media
+    spans that packer emits — but here the caption carries the real
+    word payload, sliced from the document text at the span's word
+    range, not just a token count.
+
+    Scale shape: ZERO shuffle — one documents scan, a bounded narrow
+    explode (n_words/PACK_W chunk rows per doc), an md5 filter, and an
+    array slice, all inside WholeStageCodegen.  The 100 TB version is
+    the identical plan: caption extraction is embarrassingly parallel
+    per document, and the pair table partitions naturally by the
+    upstream doc layout with no skew surface at all."""
+    d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    base = d.select(
+        "doc_id",
+        F.split(F.trim("text"), " +").alias("words"),
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        "words",
+        "n_words",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("n_words") / F.lit(float(PACK_W))).cast("long") - 1,
+            )
+        ).alias("i"),
+    )
+    h = F.md5(
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string"))
+    )
+    cap_tok = F.least(
+        F.lit(PACK_W).cast("long"), F.col("n_words") - F.col("i") * PACK_W
+    )
+    kind = (
+        F.when(F.substring(h, 2, 1) <= "4", "image")
+        .when(F.substring(h, 2, 1) <= "9", "audio")
+        .otherwise("video")
+    )
+    return (
+        base.where(F.substring(h, 1, 1) <= "4")
+        .select(
+            "doc_id",
+            (2 * F.col("i") + 1).cast("long").alias("media_pos"),
+            kind.alias("kind"),
+            F.array_join(
+                F.slice(
+                    F.col("words"),
+                    (F.col("i") * PACK_W + 1).cast("int"),
+                    cap_tok.cast("int"),
+                ),
+                " ",
+            ).alias("caption"),
+            cap_tok.alias("cap_tok"),
+        )
+    )

@@ -1151,7 +1151,7 @@ def corpus_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_round_sql(i: int) -> str:
+def _bpe_round_sql(i: int, mat: str = "") -> str:
     return f"""
   y{i} AS (SELECT freq, list_filter(string_split(s, chr(31)), x -> x != '')
                     AS syms
@@ -1161,28 +1161,37 @@ def _bpe_round_sql(i: int) -> str:
                  FROM y{i} WHERE len(syms) >= 2)
            GROUP BY lhs, rhs),
   b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-  s{i} AS (SELECT freq,
+  s{i} AS {mat}(SELECT freq,
                   replace(s, chr(31) || lhs || chr(31) || rhs || chr(31),
                              chr(31) || lhs || rhs || chr(31)) AS s
            FROM s{i - 1}, b{i})
 """
 
 
-# Training CTE chain shared by the bpe_train and bpe_apply oracles: word
-# frequencies -> chr(31)-delimited symbol strings -> BPE_MERGES rounds of
-# (pair count, top pair b{i}, rewrite s{i}).
-_BPE_TRAIN_CTES = f"""w AS (
+def _bpe_train_ctes(mat: str = "") -> str:
+    """Training CTE chain (word freqs -> chr(31)-delimited symbol strings ->
+    BPE_MERGES rounds of pair-count / top-pair / rewrite).  ``mat`` set to
+    'MATERIALIZED ' marks every state CTE materialized — required by any
+    oracle that references a state s{i} a SECOND time (DuckDB inlines plain
+    CTEs, so a double reference re-expands the whole upstream chain per
+    round — the 2^rounds blow-up the link_hits oracle documents)."""
+    return f"""w AS {mat}(
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
               AS word
             FROM documents)
       GROUP BY word),
-    s0 AS (
+    s0 AS {mat}(
       SELECT freq,
              chr(31) || array_to_string(string_split(word, ''), chr(31))
                      || chr(31) AS s
       FROM w),
-    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))}"""
+    {",".join(_bpe_round_sql(i, mat) for i in range(1, BPE_MERGES + 1))}"""
+
+
+# Shared verbatim by the bpe_train and bpe_apply oracles (single-reference
+# chains — no materialization needed).
+_BPE_TRAIN_CTES = _bpe_train_ctes()
 
 
 @q(
@@ -1237,11 +1246,15 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
-def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
+def _bpe_train_merges(
+    d: DataFrame, states: list[DataFrame] | None = None
+) -> list[DataFrame]:
     """The BPE_MERGES training rounds over a documents frame; returns the
     checkpointed 1-row best-pair frame (lhs, rhs, cnt) per rank, in rank
-    order.  Shared by bpe_train (which emits the merge table) and
-    bpe_apply (which tokenizes the corpus with it)."""
+    order.  Shared by bpe_train (which emits the merge table), bpe_apply
+    (which tokenizes the corpus with it) and bpe_compression_curve (pass
+    ``states`` to also receive the vocab symbol-state frame BEFORE each
+    round and after the last — BPE_MERGES+1 frames, rank 0 first)."""
     w = (
         d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
         .groupBy("word")
@@ -1258,6 +1271,8 @@ def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
         "j -> struct(element_at(syms, j) AS lhs, element_at(syms, j + 1) AS rhs))"
     )
     bests = []
+    if states is not None:
+        states.append(v)
     for _ in range(BPE_MERGES):
         y = v.select("freq", F.expr("filter(split(s, chr(31)), x -> x != '')").alias("syms"))
         pairs = (
@@ -1281,6 +1296,8 @@ def _bpe_train_merges(d: DataFrame) -> list[DataFrame]:
             )
             .localCheckpoint()
         )
+        if states is not None:
+            states.append(v)
     return bests
 
 
@@ -1367,6 +1384,77 @@ def bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- BPE compression curve -------------------------------------------------
+@q(
+    "bpe_compression_curve",
+    f"""
+    WITH {_bpe_train_ctes('MATERIALIZED ')},
+    ch AS (SELECT sum(freq * length(word)) AS chars FROM w)
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, "
+        f"CAST(sum(freq * n) AS BIGINT) AS total_tokens, "
+        f"round(max(chars) / sum(freq * n), 4) AS chars_per_token "
+        f"FROM (SELECT freq, "
+        f"len(list_filter(string_split(s, chr(31)), x -> x != '')) AS n "
+        f"FROM s{i}), ch"
+        for i in range(BPE_MERGES + 1)
+    )}
+    """,
+)
+def bpe_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-eval curve: corpus token count and chars-per-token after
+    each BPE merge rank 0..BPE_MERGES — the compression-vs-vocab-size
+    trade-off curve a tokenizer-training run reports (rank 0 = character
+    tokenization, each further row shows the marginal compression the
+    next merge buys).  The third artifact of the BPE family
+    (train → apply → evaluate, the detector/resolver/eval pattern of the
+    dedup families).
+
+    Token counts are freq-weighted over the VOCAB states (Σ freq ×
+    n_symbols(word)), identical to tokenizing the corpus, because merges
+    never cross word boundaries.  Counts are exact integers;
+    chars_per_token is ONE division of two exact integer sums, rounded —
+    no float accumulation at all.
+
+    Scale shape: the corpus is touched once (the word-frequency agg
+    inside the shared training rounds); each curve row is a 1-row
+    aggregate over the vocab-sized checkpointed state frame with
+    map-side partials — BPE_MERGES+1 tiny jobs unioned.  The oracle
+    MATERIALIZES every state CTE because each s{{i}} is referenced twice
+    (by s{{i+1}} and by its curve row) — a plain CTE chain would
+    re-expand 2^rounds (the link_hits single-reference lesson)."""
+    d = load(spark, sf, "documents")
+    states: list[DataFrame] = []
+    _bpe_train_merges(d, states=states)
+    wfreq = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = wfreq.agg(
+        F.sum(F.col("freq") * F.length("word")).alias("chars")
+    )
+    n_syms = F.size(F.expr("filter(split(s, chr(31)), x -> x != '')"))
+    ranks = None
+    for i, st in enumerate(states):
+        row = (
+            st.select((F.col("freq") * n_syms).alias("t"))
+            .agg(F.sum("t").alias("total_tokens"))
+            .select(
+                F.lit(i).cast("int").alias("merge_rank"),
+                F.col("total_tokens").cast("long").alias("total_tokens"),
+            )
+        )
+        ranks = row if ranks is None else ranks.unionAll(row)
+    return ranks.crossJoin(F.broadcast(chars)).select(
+        "merge_rank",
+        "total_tokens",
+        F.round(F.col("chars") / F.col("total_tokens"), 4).alias("chars_per_token"),
+    )
+
+
 # ------------------------------------------------- inverted-index build
 @q(
     "index_postings",
@@ -1427,11 +1515,10 @@ BM25_B = 0.75
 BM25_QUERY = ("spark", "hash", "dup")  # fixed query terms present in the fixture vocab
 BM25_TOPK = 10
 
-
-@q(
-    "index_bm25_topk",
-    f"""
-    WITH w AS (
+# BM25 scoring CTE chain (w -> dl/stats -> tf/df -> per-doc score s) —
+# shared verbatim by the index_bm25_topk and index_rrf_hybrid oracles so
+# the sparse leg of the hybrid is the SAME scorer, not a drifting copy.
+_BM25_SCORE_CTES = f"""w AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
                AS word
       FROM documents),
@@ -1451,7 +1538,13 @@ BM25_TOPK = 10
           JOIN df USING (word)
           JOIN dl USING (doc_id)
           CROSS JOIN stats
-          GROUP BY tf.doc_id),
+          GROUP BY tf.doc_id)"""
+
+
+@q(
+    "index_bm25_topk",
+    f"""
+    WITH {_BM25_SCORE_CTES},
     r AS (SELECT doc_id, round(score, 6) AS bm25,
                  row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
                    AS rk
@@ -1636,6 +1729,121 @@ def index_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
 # j11_salted_skew_join device: a differently-planned Spark query checked
 # against the straightforward SQL statement of the semantics).
 ORACLE["index_wand_topk"] = ORACLE["index_bm25_topk"]
+
+
+# ------------------------------------- hybrid sparse+dense retrieval (RRF)
+# Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse the BM25 ranking
+# with a dense cosine ranking by score(d) = Σ_legs 1/(RRF_K + rank_leg(d)).
+# The production hybrid-search shape (Elasticsearch/Vespa/Weaviate all ship
+# exactly this): each leg returns only its top-RRF_CAND candidates, fusion
+# happens on the k-sized lists, never on the corpus.
+RRF_K = 60
+RRF_CAND = 50
+RRF_TOPK = 10
+RRF_QVEC = 0  # dense query = embedding of vec_id 0 (doc_id ≡ vec_id)
+
+
+@q(
+    "index_rrf_hybrid",
+    f"""
+    WITH {_BM25_SCORE_CTES},
+    sr AS (SELECT doc_id, round(score, 6) AS bm25 FROM s
+           ORDER BY bm25 DESC, doc_id LIMIT {RRF_CAND}),
+    srk AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rk
+            FROM sr),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QVEC}),
+    dn AS (SELECT c.vec_id AS doc_id,
+                  round(list_cosine_similarity(
+                    c.embedding::DOUBLE[], qv.embedding::DOUBLE[]), 6) AS cos
+           FROM embeddings c, qv WHERE c.vec_id != {RRF_QVEC}),
+    dr AS (SELECT doc_id, cos FROM dn ORDER BY cos DESC, doc_id
+           LIMIT {RRF_CAND}),
+    drk AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS cos_rk
+            FROM dr),
+    f AS (SELECT coalesce(srk.doc_id, drk.doc_id) AS doc_id,
+                 CAST(srk.bm25_rk AS INT) AS bm25_rk,
+                 CAST(drk.cos_rk AS INT) AS cos_rk,
+                 round(coalesce(1.0 / ({RRF_K} + srk.bm25_rk), 0)
+                       + coalesce(1.0 / ({RRF_K} + drk.cos_rk), 0), 6) AS rrf
+          FROM srk FULL OUTER JOIN drk ON srk.doc_id = drk.doc_id)
+    SELECT doc_id, rrf, bm25_rk, cos_rk
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+)
+def index_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over ``documents`` fused with dense cosine
+    over ``embeddings`` (doc_id ≡ vec_id in the fixture corpus) by
+    Reciprocal Rank Fusion — the RAG-stack retrieval shape where a
+    lexical and a vector index answer the same query and the fused
+    top-10 feeds the generator.
+
+    Parity device: both legs rank on ROUNDED scores with doc_id
+    tie-breaks (the doc_tfidf_topk discipline — raw-double order ties
+    are the only cross-engine hazard and rounding pins them); the RRF
+    score is a fixed two-term sum of exact-integer reciprocals, rounded
+    once; the final cut orders by (rounded rrf, doc_id).  Ranks are
+    integers — the fused output carries no unpinned float.
+
+    Scale shape: the sparse leg is the index_bm25_topk plan (pruned tf
+    agg + TakeOrdered top-RRF_CAND — never a global sort); the dense leg
+    broadcasts the 1-row query vector and TakeOrders the candidate scan
+    (the ann_topk_bruteforce plan).  Fusion then touches exactly
+    2×RRF_CAND rows — a full-outer join of two k-sized lists that AQE
+    plans as a trivial exchange; at web scale each leg is served by its
+    own index (postings / ANN) and the fusion cost stays O(k) per query
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from analytics.common import load
+    from analytics.similarity import cosine
+
+    tf, df, dl, stats = _bm25_parts(spark, sf)
+    sparse = (
+        _bm25_exact(tf, df, dl, stats)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_CAND)
+    )
+    srk = sparse.withColumn(
+        "bm25_rk",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", "bm25_rk")
+    e = load(spark, sf, "embeddings")
+    qv = F.broadcast(
+        e.where(F.col("vec_id") == RRF_QVEC).select(F.col("embedding").alias("qe"))
+    )
+    dense = (
+        e.where(F.col("vec_id") != RRF_QVEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_CAND)
+    )
+    drk = dense.withColumn(
+        "cos_rk",
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")),
+    ).select("doc_id", "cos_rk")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (RRF_K + F.col("bm25_rk")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (RRF_K + F.col("cos_rk")), F.lit(0.0)),
+        6,
+    )
+    return (
+        srk.join(drk, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.col("bm25_rk").cast("int").alias("bm25_rk"),
+            F.col("cos_rk").cast("int").alias("cos_rk"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+    )
 
 
 ORACLE["doc_html_extract"] = r"""

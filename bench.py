@@ -126,6 +126,12 @@ HEADLINE = (
     # round-5m: bitmap-sketch exact distinct, dynamic partition pruning
     "a13_bitmap_distinct",
     "pf6_dynamic_partition_pruning",
+    # round-5n: personalized PageRank, sparse+dense RRF hybrid retrieval,
+    # interleaved caption-pair mining, BPE compression curve
+    "link_ppr",
+    "index_rrf_hybrid",
+    "media_caption_pairs",
+    "bpe_compression_curve",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

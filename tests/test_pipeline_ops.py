@@ -2860,3 +2860,234 @@ def test_minhash_fallback_path_matches_vectorized(spark):
     assert got[3] == (None, None)
     for d in (1, 2):
         assert got[d] == want[d], d
+
+
+def test_ppr_matches_python_power_iteration(spark):
+    """Personalized PageRank vs a dict-based power iteration with the
+    seed-concentrated reset; unreached nodes must be absent."""
+    from collections import defaultdict
+
+    from analytics import graph as G
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % G.N_NODES).alias("src"),
+            (F.col("l_suppkey") % G.N_NODES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    edges = [(r["src"], r["dst"]) for r in rows]
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seed = {n: n % G.PPR_SEED_MOD == 0 for n in nodes}
+    pr = {n: (1.0 if seed[n] else 0.0) for n in nodes}
+    for _ in range(G.N_ITER):
+        contrib = defaultdict(float)
+        for s, ds in out.items():
+            share = pr[s] / len(ds)
+            for d in ds:
+                contrib[d] += share
+        pr = {
+            n: ((1 - G.DAMPING) if seed[n] else 0.0) + G.DAMPING * contrib[n]
+            for n in nodes
+        }
+    want = {n: round(v, 4) for n, v in pr.items() if round(v, 4) > 0}
+    got = {r["node"]: r["ppr"] for r in G.link_ppr(spark, SF_TEST).collect()}
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert abs(got[n] - v) < 1e-3, (n, got[n], v)
+    # personalization must actually bite: some nodes unreached (absent)
+    # and every seed node present with at least the reset mass
+    assert len(got) < len(nodes)
+    for n in nodes:
+        if seed[n]:
+            assert got[n] >= round(1 - G.DAMPING, 4) - 1e-9
+
+
+def test_rrf_hybrid_matches_python(spark):
+    """Fused top-10 vs a python recompute of both legs: BM25 with the
+    engine's exact arithmetic and a left-to-right-fold cosine, each
+    ranked on rounded scores with doc_id tie-breaks, fused by
+    1/(60+rank)."""
+    import math
+
+    from analytics import text as T
+    from analytics.common import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    }
+    words = {d: [w for w in t.split(" ") if w] for d, t in docs.items() if t}
+    dl = {d: len(ws) for d, ws in words.items() if ws}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        d: {q: ws.count(q) for q in T.BM25_QUERY if q in ws}
+        for d, ws in words.items()
+    }
+    tf = {d: qs for d, qs in tf.items() if qs}
+    df = {q: sum(1 for qs in tf.values() if q in qs) for q in T.BM25_QUERY}
+    sparse = {}
+    for d, qs in tf.items():
+        sparse[d] = round(
+            sum(
+                math.log(1.0 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+                * f * (T.BM25_K1 + 1.0)
+                / (f + T.BM25_K1 * (1.0 - T.BM25_B + T.BM25_B * dl[d] / avgdl))
+                for q, f in qs.items()
+            ),
+            6,
+        )
+    s_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(sparse.items(), key=lambda kv: (-kv[1], kv[0]))[: T.RRF_CAND]
+        )
+    }
+    embs = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in load(spark, SF_TEST, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qv = embs[T.RRF_QVEC]
+    qn = math.sqrt(fold_dot(qv, qv))
+    dense = {
+        v: round(fold_dot(e, qv) / (math.sqrt(fold_dot(e, e)) * qn), 6)
+        for v, e in embs.items()
+        if v != T.RRF_QVEC
+    }
+    d_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(dense.items(), key=lambda kv: (-kv[1], kv[0]))[: T.RRF_CAND]
+        )
+    }
+    fused = {
+        d: round(
+            (1.0 / (T.RRF_K + s_rank[d]) if d in s_rank else 0.0)
+            + (1.0 / (T.RRF_K + d_rank[d]) if d in d_rank else 0.0),
+            6,
+        )
+        for d in set(s_rank) | set(d_rank)
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[: T.RRF_TOPK]
+    got = [
+        (r["doc_id"], r["rrf"], r["bm25_rk"], r["cos_rk"])
+        for r in T.index_rrf_hybrid(spark, SF_TEST).collect()
+    ]
+    assert [(d, rrf) for d, rrf, _, _ in got] == want
+    for d, _, brk, crk in got:
+        assert brk == s_rank.get(d) and crk == d_rank.get(d), d
+    # the fusion must be a real hybrid on this fixture: the fused top-10
+    # draws from both legs, including at least one doc only one leg ranked
+    assert any(brk is not None for _, _, brk, _ in got)
+    assert any(crk is not None for _, _, _, crk in got)
+
+
+def test_caption_pairs_reconstruct(spark):
+    """Captions must be the exact word slice of the media span's preceding
+    text span, and the pair set must be exactly the media spans the
+    interleaved packer emits for the same corpus."""
+    import hashlib
+    import re
+
+    from analytics import multimodal as M
+    from analytics.common import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+        if r["text"] is not None and r["text"].strip(" ")
+    }
+    want = {}
+    for doc_id, text in docs.items():
+        ws = re.split(" +", text.strip(" "))
+        n = len(ws)
+        for i in range((n + M.PACK_W - 1) // M.PACK_W):
+            h = hashlib.md5(f"{doc_id}_{i}".encode()).hexdigest()
+            if h[0] > "4":
+                continue
+            kind = "image" if h[1] <= "4" else ("audio" if h[1] <= "9" else "video")
+            cap = ws[i * M.PACK_W : i * M.PACK_W + M.PACK_W]
+            want[(doc_id, 2 * i + 1)] = (kind, " ".join(cap), len(cap))
+    got = {
+        (r["doc_id"], r["media_pos"]): (r["kind"], r["caption"], r["cap_tok"])
+        for r in M.media_caption_pairs(spark, SF_TEST).collect()
+    }
+    assert got == want
+    # cross-op consistency: same media span set as the interleaved packer
+    pack_media = {
+        (r["doc_id"], r["pos"], r["kind"])
+        for r in M.media_interleaved_pack(spark, SF_TEST).collect()
+        if r["kind"] != "text"
+    }
+    assert {(d, p, k) for (d, p), (k, _, _) in got.items()} == pack_media
+    # fixture must exercise a short tail span (caption < PACK_W words)
+    assert any(n < M.PACK_W for _, _, n in got.values())
+
+
+def test_bpe_compression_curve_matches_python(spark):
+    """Token totals per merge rank vs the pure-python BPE trainer: rank 0
+    is character tokenization and each rank's total is the freq-weighted
+    symbol count after that merge."""
+    from collections import Counter
+
+    from analytics import text as T
+    from analytics.common import load
+
+    SEP = "\x1f"
+    freq: Counter = Counter()
+    chars = 0
+    for r in load(spark, SF_TEST, "documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+    chars = sum(f * len(w) for w, f in freq.items())
+    vocab = {SEP + SEP.join(w) + SEP: f for w, f in freq.items()}
+
+    def total(v):
+        return sum(f * len([x for x in s.split(SEP) if x]) for s, f in v.items())
+
+    want = [(0, total(vocab))]
+    for rank in range(1, T.BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for s, f in vocab.items():
+            syms = [x for x in s.split(SEP) if x]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (lhs, rhs), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        old, new = SEP + lhs + SEP + rhs + SEP, SEP + lhs + rhs + SEP
+        nxt: Counter = Counter()
+        for s, f in vocab.items():
+            nxt[s.replace(old, new)] += f
+        vocab = nxt
+        want.append((rank, total(vocab)))
+
+    got = [
+        (r["merge_rank"], r["total_tokens"], r["chars_per_token"])
+        for r in T.bpe_compression_curve(spark, SF_TEST)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert [(rk, t) for rk, t, _ in got] == want
+    for rk, t, cpt in got:
+        assert abs(cpt - round(chars / t, 4)) <= 1e-4, rk
+    # rank 0 must equal total corpus chars (character tokenization) and
+    # the curve must be strictly decreasing (every merge fired somewhere)
+    assert got[0][1] == chars
+    assert all(a[1] > b[1] for a, b in zip(got, got[1:]))

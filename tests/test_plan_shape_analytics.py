@@ -673,3 +673,47 @@ def test_bm25_topk_is_take_ordered(spark):
     for fn in (T.index_bm25_topk, T.index_wand_topk):
         p = plan(fn(spark, SF_TEST))
         assert "TakeOrderedAndProject" in p, fn.__name__
+
+
+def test_rrf_hybrid_both_legs_take_ordered(spark):
+    """Each fusion leg must cut to top-RRF_CAND via TakeOrderedAndProject
+    (k-sized lists into the fusion join, never a corpus-sized global
+    sort), and the dense leg's 1-row query vector must broadcast."""
+    from analytics import text as T
+
+    p = plan(T.index_rrf_hybrid(spark, SF_TEST))
+    assert p.count(") TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_caption_pairs_zero_shuffle_no_python(spark):
+    """Caption mining is a stateless narrow scan: bounded Generate
+    (chunk explode), zero Exchange, zero Python, read schema pruned to
+    (doc_id, text)."""
+    from analytics import multimodal as M
+
+    p = plan(M.media_caption_pairs(spark, SF_TEST))
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_ppr_round_plan_matches_pagerank_shape(spark):
+    """Personalization must add zero distributed cost: the returned
+    frame's plan (one round past the last checkpoint) carries the same
+    single co-partitioned join + partial agg shape as link_pagerank,
+    with no extra Exchange for the seed reset."""
+    from analytics import graph as G
+
+    p_pr = plan(G.link_pagerank(spark, SF_TEST))
+    p_ppr = plan(G.link_ppr(spark, SF_TEST))
+    import re
+
+    # same exchange count; the reset CASE lives inside the projection
+    assert len(re.findall(r"\(\d+\) Exchange", p_ppr)) == len(
+        re.findall(r"\(\d+\) Exchange", p_pr)
+    )
+    assert "ArrowEvalPython" not in p_ppr

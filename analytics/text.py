@@ -1426,20 +1426,15 @@ def bpe_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     states: list[DataFrame] = []
     _bpe_train_merges(d, states=states)
-    wfreq = (
-        d.select(
-            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    chars = wfreq.agg(
-        F.sum(F.col("freq") * F.length("word")).alias("chars")
-    )
+    # rank 0 is the only non-checkpointed state (training checkpoints after
+    # each rewrite); materialize it once — it feeds its curve row AND the
+    # chars total, which IS the rank-0 token count (s0 symbols are single
+    # characters), so no separate corpus word-freq pass is needed
+    states[0] = states[0].localCheckpoint()
     n_syms = F.size(F.expr("filter(split(s, chr(31)), x -> x != '')"))
-    ranks = None
-    for i, st in enumerate(states):
-        row = (
+
+    def rank_total(i: int, st: DataFrame) -> DataFrame:
+        return (
             st.select((F.col("freq") * n_syms).alias("t"))
             .agg(F.sum("t").alias("total_tokens"))
             .select(
@@ -1447,7 +1442,14 @@ def bpe_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("total_tokens").cast("long").alias("total_tokens"),
             )
         )
+
+    ranks = None
+    for i, st in enumerate(states):
+        row = rank_total(i, st)
         ranks = row if ranks is None else ranks.unionAll(row)
+    chars = rank_total(0, states[0]).select(
+        F.col("total_tokens").alias("chars")
+    )
     return ranks.crossJoin(F.broadcast(chars)).select(
         "merge_rank",
         "total_tokens",

@@ -638,3 +638,110 @@ def crawl_trap_hosts(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("n_urls") >= TRAP_MIN_URLS)
         ).alias("is_trap"),
     )
+
+
+# --- host-level link-graph contraction -------------------------------------
+HG_HOSTS = 211  # same host namespace as the synthetic frontier
+
+
+@q(
+    "crawl_host_graph",
+    f"""
+    WITH e AS (
+      SELECT 'h' || lpad(CAST(l_partkey % {HG_HOSTS} AS VARCHAR), 4, '0') AS src,
+             'h' || lpad(CAST(l_suppkey % {HG_HOSTS} AS VARCHAR), 4, '0') AS dst,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    o AS (SELECT src AS host,
+                 CAST(sum(CASE WHEN src != dst THEN cnt ELSE 0 END) AS BIGINT)
+                   AS out_links,
+                 CAST(count(*) FILTER (WHERE src != dst) AS BIGINT) AS out_hosts,
+                 CAST(sum(CASE WHEN src = dst THEN cnt ELSE 0 END) AS BIGINT)
+                   AS self_links
+          FROM e GROUP BY 1),
+    i AS (SELECT dst AS host,
+                 CAST(sum(CASE WHEN src != dst THEN cnt ELSE 0 END) AS BIGINT)
+                   AS in_links,
+                 CAST(count(*) FILTER (WHERE src != dst) AS BIGINT) AS in_hosts
+          FROM e GROUP BY 1)
+    SELECT coalesce(o.host, i.host) AS host,
+           coalesce(out_links, 0) AS out_links,
+           coalesce(out_hosts, 0) AS out_hosts,
+           coalesce(in_links, 0) AS in_links,
+           coalesce(in_hosts, 0) AS in_hosts,
+           coalesce(self_links, 0) AS self_links,
+           round(CAST(coalesce(self_links, 0) AS DOUBLE)
+                 / (coalesce(self_links, 0) + coalesce(out_links, 0)), 4)
+             AS self_ratio
+    FROM o FULL OUTER JOIN i ON o.host = i.host
+    WHERE coalesce(self_links, 0) + coalesce(out_links, 0) > 0
+       OR coalesce(in_links, 0) > 0
+    """,
+)
+def crawl_host_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link-graph contraction — the "domain graph" rollup every
+    production crawler maintains (crawl budgeting, spam/link-farm
+    signals, politeness planning): page-level edges collapse onto their
+    hosts, and each host reports distinct out/in neighbor hosts, total
+    out/in link multiplicity, and its self-link (intra-site) ratio.
+    Edges reuse the deterministic lineitem incidence mapped into the
+    211-host frontier namespace.
+
+    Parity: every stat is an exact integer off the contracted
+    (src, dst, cnt) table; self_ratio is ONE rounded division.  The
+    full-outer join carries pure-source and pure-sink hosts; the final
+    predicate is on exact integers.
+
+    Scale shape: THE canonical scale win of host contraction — the only
+    corpus-sized exchange is the (src, dst) hash agg with map-side
+    partials (the web's 10^12 edges collapse to a host²-bounded table;
+    in practice ~10^8 rows for 10^7 hosts); the out/in rollups and the
+    full-outer join then run on the contracted table keyed by host.
+    Hub hosts skew the contraction agg, not a join — partial
+    aggregation absorbs them map-side exactly like dedup_exact."""
+    li = load(spark, sf, "lineitem")
+
+    def hostcol(c):
+        return F.concat(
+            F.lit("h"),
+            F.lpad(F.pmod(c, F.lit(HG_HOSTS)).cast("string"), 4, "0"),
+        )
+
+    e = (
+        li.select(
+            hostcol(F.col("l_partkey")).alias("src"),
+            hostcol(F.col("l_suppkey")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ncnt = F.when(F.col("src") != F.col("dst"), F.col("cnt")).otherwise(F.lit(0))
+    scnt = F.when(F.col("src") == F.col("dst"), F.col("cnt")).otherwise(F.lit(0))
+    o = e.groupBy(F.col("src").alias("host")).agg(
+        F.sum(ncnt).alias("out_links"),
+        F.count(F.when(F.col("src") != F.col("dst"), True)).alias("out_hosts"),
+        F.sum(scnt).alias("self_links"),
+    )
+    i = e.groupBy(F.col("dst").alias("host")).agg(
+        F.sum(ncnt).alias("in_links"),
+        F.count(F.when(F.col("src") != F.col("dst"), True)).alias("in_hosts"),
+    )
+    z = F.lit(0).cast("long")
+    j = o.join(i, "host", "full_outer").select(
+        "host",
+        F.coalesce("out_links", z).alias("out_links"),
+        F.coalesce("out_hosts", z).alias("out_hosts"),
+        F.coalesce("in_links", z).alias("in_links"),
+        F.coalesce("in_hosts", z).alias("in_hosts"),
+        F.coalesce("self_links", z).alias("self_links"),
+    )
+    return j.where(
+        (F.col("self_links") + F.col("out_links") > 0) | (F.col("in_links") > 0)
+    ).select(
+        "*",
+        F.round(
+            F.col("self_links").cast("double")
+            / (F.col("self_links") + F.col("out_links")),
+            4,
+        ).alias("self_ratio"),
+    )

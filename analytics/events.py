@@ -681,3 +681,82 @@ def events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         "mad4",
         (2 * F.col("dev2") > MAD_K_NUM * F.col("mad4")).alias("is_outlier"),
     )
+
+
+# --- dyadic-weight EWMA smoothing -----------------------------------------
+EWMA_K = 8  # window depth; weight for lag k is 2^(EWMA_K-1-k) — exact ints
+
+_EWMA_NUM = " + ".join(
+    f"coalesce(l{k}, 0) * {1 << (EWMA_K - 1 - k)}" for k in range(EWMA_K)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN l{k} IS NOT NULL THEN {1 << (EWMA_K - 1 - k)} ELSE 0 END"
+    for k in range(EWMA_K)
+)
+
+
+@q(
+    "events_ewma",
+    f"""
+    WITH b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    l AS (
+      SELECT event_id, user_id, vc,
+             {", ".join(
+                 f"lag(vc, {k}) OVER (PARTITION BY user_id "
+                 f"ORDER BY t_us, event_id) AS l{k}"
+                 for k in range(EWMA_K)
+             )}
+      FROM b)
+    SELECT event_id, user_id, vc,
+           round(CAST({_EWMA_NUM} AS DOUBLE) / ({_EWMA_DEN}), 4) AS ewma
+    FROM l
+    """,
+)
+def events_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the time-series
+    smoothing pass behind rate/anomaly monitors — truncated to the last
+    EWMA_K events with DYADIC weights 2^-(k+1): every weight and both
+    accumulators are exact integers on the x100 value grid (weight for
+    lag k = 2^(EWMA_K-1-k), denominator = sum of the weights actually
+    present, so partial leading windows normalize correctly), and the
+    only float op is ONE rounded division per row.  The standard
+    α = 1/2 recursive EWMA truncated at K terms — truncation is what
+    makes the op windowed (hence distributed) instead of a sequential
+    per-series scan.
+
+    Scale shape: one user_id Exchange feeds a single Window that
+    evaluates all EWMA_K lags in one pass over each partition (lag
+    frames share the sort); no global window, no pole — users
+    parallelize freely, exactly like events_sessionize."""
+    b = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    lagged = b.select(
+        "event_id",
+        "user_id",
+        "vc",
+        *[F.lag("vc", k).over(w).alias(f"l{k}") for k in range(EWMA_K)],
+    )
+    num = sum(
+        (F.coalesce(F.col(f"l{k}"), F.lit(0)) * (1 << (EWMA_K - 1 - k)))
+        for k in range(EWMA_K)
+    )
+    den = sum(
+        F.when(F.col(f"l{k}").isNotNull(), F.lit(1 << (EWMA_K - 1 - k))).otherwise(
+            F.lit(0)
+        )
+        for k in range(EWMA_K)
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "vc",
+        F.round(num.cast("double") / den, 4).alias("ewma"),
+    )

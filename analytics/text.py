@@ -673,6 +673,92 @@ def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Kneser-Ney bigram LM estimation -----------------------------------
+KN_D = 0.75  # absolute discount (exact in binary — no float surface)
+
+
+@q(
+    "corpus_kn_bigram_lm",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    b AS (
+      SELECT doc_id, pos, word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM w WHERE word != ''),
+    bt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+           FROM b WHERE w2 IS NOT NULL AND w2 != '' GROUP BY 1, 2),
+    lc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1f
+           FROM bt GROUP BY 1),
+    rc AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM bt GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM bt)
+    SELECT bt.w1, bt.w2, bt.cnt,
+           round((CAST(bt.cnt AS DOUBLE) - {KN_D}) / lc.c1
+                 + {KN_D} * lc.n1f / lc.c1
+                   * (CAST(rc.ncont AS DOUBLE) / tot.ntot), 6) AS p_kn
+    FROM bt JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+    """,
+)
+def corpus_kn_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95 /
+    Chen & Goodman '99) — the standard n-gram LM estimator, upgrading
+    doc_lm_score's add-one smoothing: for every observed bigram type,
+    p_kn(w2|w1) = (c(w1,w2) - D)/c(w1·) + D·N1+(w1,·)/c(w1·) ·
+    N1+(·,w2)/N1+(·,·), with absolute discount D = 0.75 and the
+    continuation-count backoff that makes KN the right estimator for
+    corpus-quality scoring ("francisco" is frequent but only ever
+    follows "san" — continuation counts catch that, raw unigrams
+    don't).
+
+    Parity device: every input is an exact integer off ONE bigram-type
+    count table (c12 ≥ 1 and D < 1, so the discounted numerator never
+    clamps); the probability is a fixed-shape arithmetic tree with
+    identical left-associated operator order in both engines, rounded
+    once.  No float accumulates anywhere.
+
+    Scale shape: bigram pairs are built per-doc with the zero-shuffle
+    zip_with device (corpus_bigram_topk); the only corpus-sized
+    exchange is the (w1, w2) hash agg with map-side partials.  All
+    three derived statistics re-aggregate the BIGRAM-TYPE table (lc and
+    rc are VOCAB-sized, tot is one row), so at web scale — where the
+    bigram-type table itself is too big to broadcast — the joins stay
+    broadcast joins of vocab-sized stat tables against it, never a
+    bigram×bigram shuffle."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    prs = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bt = (
+        d.select(F.explode(prs).alias("pr"))
+        .where(F.col("pr.w2").isNotNull())
+        .groupBy(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    lc = bt.groupBy("w1").agg(
+        F.sum("cnt").alias("c1"), F.count("*").alias("n1f")
+    )
+    rc = bt.groupBy("w2").agg(F.count("*").alias("ncont"))
+    tot = bt.agg(F.count("*").alias("ntot"))
+    p_kn = F.round(
+        (F.col("cnt").cast("double") - KN_D) / F.col("c1")
+        + F.lit(KN_D) * F.col("n1f") / F.col("c1")
+        * (F.col("ncont").cast("double") / F.col("ntot")),
+        6,
+    )
+    return (
+        bt.join(F.broadcast(lc), "w1")
+        .join(F.broadcast(rc), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cnt", p_kn.alias("p_kn"))
+    )
+
+
 # --- PII scrubbing -----------------------------------------------------
 # The synthetic corpus carries no organic PII, so the op appends a
 # deterministic, doc_id-derived contact line to every document before

@@ -132,6 +132,11 @@ HEADLINE = (
     "index_rrf_hybrid",
     "media_caption_pairs",
     "bpe_compression_curve",
+    # round-5o: Kneser-Ney bigram LM, dyadic EWMA smoothing, host-graph
+    # contraction
+    "corpus_kn_bigram_lm",
+    "events_ewma",
+    "crawl_host_graph",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

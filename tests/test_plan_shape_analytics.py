@@ -717,3 +717,46 @@ def test_ppr_round_plan_matches_pagerank_shape(spark):
         re.findall(r"\(\d+\) Exchange", p_pr)
     )
     assert "ArrowEvalPython" not in p_ppr
+
+
+def test_kn_bigram_stats_broadcast_no_smj(spark):
+    """KN estimation: the bigram-type table joins its vocab-sized stat
+    tables by broadcast (never a sort-merge of bigram×bigram), the pair
+    explode is a narrow Generate, and the corpus agg partial-aggregates
+    below its exchange."""
+    from analytics import text as T
+
+    p = plan(T.corpus_kn_bigram_lm(spark, SF_TEST))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex], "no map-side partial agg"
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_events_ewma_one_exchange_one_window(spark):
+    """EWMA: one user_id exchange feeds ONE Window evaluating all lags in
+    a single pass — no per-lag windows, no Python."""
+    import re
+
+    from analytics import events as E
+
+    p = plan(E.events_ewma(spark, SF_TEST))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_host_graph_contraction_partial_agg(spark):
+    """Host-graph: the page→host contraction partial-aggregates below its
+    exchange (hub hosts absorb map-side), and the read schema prunes to
+    the two key columns."""
+    from analytics import crawl_queries as CQ
+
+    p = plan(CQ.crawl_host_graph(spark, SF_TEST))
+    first_ex = p.index("Exchange")
+    assert "HashAggregate" in p[:first_ex], "no map-side partial agg"
+    read = p.split("ReadSchema")[1][:200]
+    assert "l_partkey" in read and "l_suppkey" in read
+    assert "l_orderkey" not in read and "l_extendedprice" not in read

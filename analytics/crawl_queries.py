@@ -670,8 +670,13 @@ HG_HOSTS = 211  # same host namespace as the synthetic frontier
            coalesce(in_links, 0) AS in_links,
            coalesce(in_hosts, 0) AS in_hosts,
            coalesce(self_links, 0) AS self_links,
-           round(CAST(coalesce(self_links, 0) AS DOUBLE)
-                 / (coalesce(self_links, 0) + coalesce(out_links, 0)), 4)
+           -- pure-sink hosts (denominator 0) are NULL on both engines:
+           -- Spark's non-ANSI x/0 is NULL, DuckDB's would be inf
+           CASE WHEN coalesce(self_links, 0) + coalesce(out_links, 0) = 0
+                THEN NULL
+                ELSE round(CAST(coalesce(self_links, 0) AS DOUBLE)
+                           / (coalesce(self_links, 0)
+                              + coalesce(out_links, 0)), 4) END
              AS self_ratio
     FROM o FULL OUTER JOIN i ON o.host = i.host
     WHERE coalesce(self_links, 0) + coalesce(out_links, 0) > 0

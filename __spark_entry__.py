@@ -101,7 +101,8 @@ _FRONT = (
     "bpe_apply",
     "link_hits",
     "events_funnel",
-    "a8_pivot",
+    # a8_pivot displaced for the 5p slot: trivial-plan relational row whose
+    # sibling a10_unpivot was cut under the same rationale in the 5g swap
     "st8_stream_stream_join",
     "emb_random_projection",
     "corpus_collocation_topk",
@@ -156,6 +157,7 @@ _FRONT = (
     "corpus_kn_bigram_lm",
     "events_ewma",
     "crawl_host_graph",
+    "emb_hamming_topk",
 )
 
 

@@ -1665,3 +1665,98 @@ def emb_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.col("avg_d2").alias("avg_d2_grid"),
         (F.col("d2") > OUTLIER_FACTOR * F.col("avg_d2")).alias("is_outlier"),
     )
+
+
+# --- binarized-embedding Hamming retrieval ---------------------------------
+# Sign binarization (1 bit/dim) is the most aggressive embedding
+# compression tier shipped by production vector stores (64x smaller than
+# float32; Hamming distance approximates angular distance).  Bits pack
+# into two BIGINT words of 32 dims each — positions 0..31 per word, so no
+# sign-bit hazard — and distance is bit_count(xor) on exact integers:
+# ZERO float surface anywhere in the query.
+BH_TOPK = 10
+BH_QVEC = 0
+
+
+def _bh_word_sql(col: str, lo: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 33), "
+        f"i -> CASE WHEN {col}[CAST(i + {lo} AS INT)] > 0 "
+        f"THEN 1::BIGINT << (i - 1) ELSE 0 END))"
+    )
+
+
+@q(
+    "emb_hamming_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             {_bh_word_sql('embedding', 0)} AS w1,
+             {_bh_word_sql('embedding', 32)} AS w2
+      FROM embeddings),
+    qv AS (SELECT w1, w2 FROM b WHERE vec_id = {BH_QVEC}),
+    h AS (SELECT b.vec_id AS cid,
+                 CAST(bit_count(xor(b.w1, qv.w1))
+                      + bit_count(xor(b.w2, qv.w2)) AS BIGINT) AS hamming
+          FROM b, qv WHERE b.vec_id != {BH_QVEC}),
+    r AS (SELECT cid, hamming,
+                 row_number() OVER (ORDER BY hamming, cid) AS rk
+          FROM h)
+    SELECT cid, hamming, CAST(rk AS INT) AS rk FROM r WHERE rk <= {BH_TOPK}
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantized nearest neighbors: sign-binarize every embedding
+    to 64 bits (two 32-dim BIGINT words), then return the BH_TOPK
+    candidates nearest the query vector by Hamming distance — the
+    1-bit compression tier below emb_quantize_int8 and ann_pq_adc
+    (binary embeddings + Hamming rerank is the production recipe for
+    billion-scale first-stage retrieval: 64x smaller than float32 and
+    the distance is two XOR+popcounts).
+
+    Parity: the packed words are exact integer sums of distinct powers
+    of two (order-independent), Hamming is integer, ties break on cid —
+    the entire query has NO float arithmetic, the strongest parity
+    class in the similarity family.
+
+    Scale shape: binarization is a stateless zero-shuffle projection
+    (at scale it is written once as a 16-byte sidecar column); the
+    1-row query packs broadcast and the scan streams candidates
+    through XOR+popcount inside codegen; the global top-k is
+    TakeOrdered (per-partition heaps, k rows moved) — the
+    ann_topk_bruteforce plan with popcount instead of a float dot
+    product."""
+    from pyspark.sql import Window
+
+    from analytics.common import load
+
+    def word(lo: int):
+        # shiftleft()'s bit count must be an expression here (it varies per
+        # element), so the whole fold is one SQL expression string
+        return F.expr(
+            "aggregate(transform(sequence(1, 32), i -> "
+            f"IF(element_at(embedding, CAST(i + {lo} AS INT)) > 0, "
+            "shiftleft(1L, i - 1), 0L)), 0L, (acc, x) -> acc + x)"
+        )
+
+    b = load_spread(spark, sf, "embeddings").select(
+        "vec_id", word(0).alias("w1"), word(32).alias("w2")
+    )
+    qv = F.broadcast(
+        b.where(F.col("vec_id") == BH_QVEC).select(
+            F.col("w1").alias("q1"), F.col("w2").alias("q2")
+        )
+    )
+    hamming = (
+        F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+    ).cast("long")
+    ranked = (
+        b.where(F.col("vec_id") != BH_QVEC)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("cid"), hamming.alias("hamming"))
+        .orderBy("hamming", "cid")
+        .limit(BH_TOPK)
+    )
+    w = Window.orderBy("hamming", "cid")
+    return ranked.withColumn("rk", F.row_number().over(w).cast("int"))

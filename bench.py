@@ -137,6 +137,8 @@ HEADLINE = (
     "corpus_kn_bigram_lm",
     "events_ewma",
     "crawl_host_graph",
+    # round-5p: sign-binarized Hamming retrieval
+    "emb_hamming_topk",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -3238,3 +3238,49 @@ def test_host_graph_matches_python(spark):
             self_links[h],
         ), h
         assert abs(sr - round(sl / (sl + o), 4)) <= 1e-4 if (sl + o) else sr is None
+
+
+def test_hamming_topk_matches_numpy(spark):
+    """Binary packing and Hamming top-k vs a numpy recompute; the binary
+    ranking must also correlate with true cosine (sign bits are a real
+    angular sketch, not noise)."""
+    import numpy as np
+
+    from analytics import similarity as S
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "embeddings").select("vec_id", "embedding").collect()
+    )
+    packed = {}
+    vecs = {}
+    for r in rows:
+        v = np.array([float(x) for x in r["embedding"]])
+        vecs[r["vec_id"]] = v
+        bits = (v > 0).astype(np.int64)
+        w1 = int(sum(bits[i] << i for i in range(32)))
+        w2 = int(sum(bits[32 + i] << i for i in range(32)))
+        packed[r["vec_id"]] = (w1, w2)
+    q1, q2 = packed[S.BH_QVEC]
+    ham = {
+        v: bin((w1 ^ q1)).count("1") + bin((w2 ^ q2)).count("1")
+        for v, (w1, w2) in packed.items()
+        if v != S.BH_QVEC
+    }
+    want = sorted(ham.items(), key=lambda kv: (kv[1], kv[0]))[: S.BH_TOPK]
+    got = [
+        (r["cid"], r["hamming"], r["rk"])
+        for r in S.emb_hamming_topk(spark, SF_TEST).orderBy("rk").collect()
+    ]
+    assert [(c, h) for c, h, _ in got] == want
+    assert [rk for _, _, rk in got] == list(range(1, len(got) + 1))
+    # sketch sanity: the binary top-10's mean true cosine to the query
+    # must beat the corpus mean (the sketch preserves angular order)
+    qv = vecs[S.BH_QVEC]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    top_mean = np.mean([cos(vecs[c], qv) for c, _, _ in got])
+    all_mean = np.mean([cos(v, qv) for k, v in vecs.items() if k != S.BH_QVEC])
+    assert top_mean > all_mean

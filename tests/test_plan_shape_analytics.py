@@ -760,3 +760,14 @@ def test_host_graph_contraction_partial_agg(spark):
     read = p.split("ReadSchema")[1][:200]
     assert "l_partkey" in read and "l_suppkey" in read
     assert "l_orderkey" not in read and "l_extendedprice" not in read
+
+
+def test_hamming_topk_take_ordered_broadcast(spark):
+    """Binary Hamming retrieval: the 1-row packed query broadcasts, the
+    global top-k is TakeOrdered, and the whole query has no Python."""
+    from analytics import similarity as S
+
+    p = plan(S.emb_hamming_topk(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -119,7 +119,11 @@ _FRONT = (
     # layout_zorder displaced for a 5n slot: its oracle shares the identical
     # bit-interleave expression text, so the local parity pass plus the
     # bounding-box pytest already pin everything a driver row would
-    "events_gapfill",
+    # events_gapfill displaced for ann_lsh_bucketed: the LSH op's oracle is
+    # NEW this round (md5-Rademacher planes made it SQL-expressible), so a
+    # driver hash row is first-time evidence; gapfill is a trivial-plan
+    # integer-grid op whose window family (st3/st4) is driver-proven
+    "ann_lsh_bucketed",
     "index_bm25_topk",
     "emb_cluster_sample",
     "media_interleaved_pack",

@@ -130,35 +130,100 @@ def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 N_PLANES = 6
 DIM = 64
+LSH_GRID = 1_000_000  # microunit snap — projection signs are exact integers
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic random hyperplanes (seed 42) — same planes every run,
-    every engine, every cluster size."""
-    import random
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic Rademacher (±1) hyperplanes derived from md5 — the
+    emb_random_projection sign device.  ±1 planes instead of the r01
+    gaussian draw for two reasons: (a) sign-of-±1-projection is a valid
+    hyperplane-LSH family (Achlioptas-style sparse projections), and
+    (b) the projection becomes an exact integer sum on the microunit
+    grid, so the bucket id is bit-identical in Spark, DuckDB and
+    python — which is what upgraded this op from rows-only to a full
+    DuckDB oracle."""
+    import hashlib
 
-    rng = random.Random(42)
-    return [[rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)]
+    return [
+        [
+            1
+            if hashlib.md5(f"lsh{i}_{p}".encode()).hexdigest()[0] <= "7"
+            else -1
+            for i in range(1, DIM + 1)
+        ]
+        for p in range(N_PLANES)
+    ]
 
 
 def lsh_bucket(emb: Column) -> Column:
-    """Sign-of-projection bucket id (0..2^N_PLANES-1) — native HOFs only."""
+    """Sign-of-projection bucket id (0..2^N_PLANES-1) — native HOFs only.
+    Each projection is an exact BIGINT: Σ ±round(x_i * 1e6)."""
+    xm = F.transform(
+        emb, lambda x: F.round(x.cast("double") * LSH_GRID).cast("long")
+    )
     bucket = F.lit(0)
-    for i, plane in enumerate(_hyperplanes()):
+    for p, plane in enumerate(_hyperplanes()):
         proj = F.aggregate(
             F.zip_with(
-                emb,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, p: x.cast("double") * p,
+                xm,
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, s: x * s.cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
-@q("ann_lsh_bucketed")
+def _lsh_bucket_sql(xm: str = "m") -> str:
+    """DuckDB twin of lsh_bucket over a pre-snapped BIGINT list column."""
+    projs = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+            f"CASE WHEN substring(md5('lsh' || CAST(i AS VARCHAR) || '_{p}'), 1, 1)"
+            f" <= '7' THEN {xm}[CAST(i AS INT)] ELSE -{xm}[CAST(i AS INT)] END))"
+        )
+        projs.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(projs)
+
+
+_LSH_MASKS = (
+    [0]
+    + [1 << i for i in range(N_PLANES)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(N_PLANES)
+        for j in range(i + 1, N_PLANES)
+    ]
+)
+
+
+@q(
+    "ann_lsh_bucketed",
+    f"""
+    WITH x AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * {LSH_GRID}) AS BIGINT)) AS m
+      FROM embeddings),
+    b AS (SELECT vec_id, embedding, {_lsh_bucket_sql('m')} AS bucket FROM x),
+    pr AS (SELECT unnest({_LSH_MASKS}) AS mask),
+    q AS (SELECT b.vec_id AS qid, b.embedding AS qe,
+                 xor(b.bucket, pr.mask) AS pb
+          FROM b, pr WHERE b.vec_id < 10),
+    s AS (SELECT DISTINCT q.qid, c.vec_id AS cid,
+                 list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[])
+                   AS cos
+          FROM q JOIN b c ON c.bucket = q.pb AND c.vec_id != q.qid),
+    r AS (SELECT qid, cid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rk
+          FROM s)
+    SELECT qid, cid, rk, round(cos, 4) AS cos FROM r WHERE rk <= 5
+    """,
+)
 def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH bucket join + exact rerank inside
     buckets, with multi-probe out to Hamming distance 2.  On THIS corpus
@@ -166,8 +231,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     for 6 planes + 2-bit probes is ~0.6 recall of the true top-5; real
     embedding corpora are strongly clustered, where the same construction
     probes a constant bucket set while candidate volume stays O(n/2^P) —
-    that is the 100 TB path.  Rows-only for the driver; recall vs brute
-    force asserted in tests/test_pipeline_ops.py."""
+    that is the 100 TB path.
+
+    Fully oracled since round 5: the md5-Rademacher planes on the
+    microunit grid make every bucket id an exact-integer artifact both
+    engines compute bit-identically (previously rows-only because the
+    gaussian planes' float dot products could not be stated in SQL);
+    recall vs brute force additionally asserted in
+    tests/test_pipeline_ops.py."""
     e = load_spread(spark, sf, "embeddings").withColumn("bucket", lsh_bucket(F.col("embedding")))
     # multi-probe: query side also probes every bucket within Hamming
     # distance 2 of its own (1 + P + P*(P-1)/2 probes).

@@ -125,7 +125,11 @@ _FRONT = (
     # integer-grid op whose window family (st3/st4) is driver-proven
     "ann_lsh_bucketed",
     "index_bm25_topk",
-    "emb_cluster_sample",
+    # emb_cluster_sample displaced for ann_ivf, whose oracle is NEW this
+    # round (deterministic argmax assignment stated in SQL): both ops share
+    # the _coarse_score/_coarse_assign device, so the IVF hash row covers
+    # the cluster sampler's assignment path transitively
+    "ann_ivf",
     "media_interleaved_pack",
     "j10_star_q5",
     "scd2_order_history",

@@ -317,7 +317,42 @@ def _coarse_assign(scored: DataFrame, emb_alias: str | None = None) -> DataFrame
     return scored.groupBy("vec_id").agg(*aggs)
 
 
-@q("ann_ivf")
+@q(
+    "ann_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings ORDER BY vec_id LIMIT {N_LISTS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[])
+               AS cs
+      FROM embeddings e, cents c),
+    assign AS (
+      SELECT vec_id, embedding, cent_id AS list_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cent_id) AS rn
+            FROM scored)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qe, cent_id AS list_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cent_id) AS prk
+            FROM scored WHERE vec_id < 10)
+      WHERE prk <= {N_PROBE}),
+    s AS (
+      SELECT p.qid, a.vec_id AS cid,
+             list_cosine_similarity(p.qe::DOUBLE[], a.embedding::DOUBLE[])
+               AS cos
+      FROM probes p JOIN assign a USING (list_id)
+      WHERE a.vec_id != p.qid),
+    r AS (SELECT qid, cid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rk
+          FROM s)
+    SELECT qid, cid, rk, round(cos, 4) AS cos FROM r WHERE rk <= 5
+    """,
+)
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN — the second scale path next to ``ann_lsh_bucketed``
     (the brief asks for "an IVF or LSH-bucketed variant"; clustered corpora
@@ -335,8 +370,13 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
       3. query: each query ranks the SAME broadcast centroids, probes its
          N_PROBE nearest lists, and exact-reranks only those lists'
          members — candidate volume ~ N_PROBE/N_LISTS of the corpus.
-    Rows-only for the driver (list membership is engine-defined); recall
-    vs ``ann_topk_bruteforce`` asserted in tests/test_pipeline_ops.py."""
+    Fully oracled since round 5: centroid choice (lowest-vec_id LIMIT),
+    argmax assignment (cs DESC, cent_id tie-break — the max_by struct
+    rule stated as a window), probe ranking and the rerank are all
+    deterministic given the proven bit-equality of the two engines'
+    cosine (the ann_topk_bruteforce device), so list membership is NOT
+    engine-defined after all.  Recall vs ``ann_topk_bruteforce``
+    additionally asserted in tests/test_pipeline_ops.py."""
     from pyspark.sql import Window
 
     e = load_spread(spark, sf, "embeddings")

@@ -137,8 +137,11 @@ HEADLINE = (
     "corpus_kn_bigram_lm",
     "events_ewma",
     "crawl_host_graph",
-    # round-5p: sign-binarized Hamming retrieval
+    # round-5p: sign-binarized Hamming retrieval, plus the two ANN scale
+    # paths newly upgraded to full oracles (first per-round timings)
     "emb_hamming_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

@@ -104,7 +104,10 @@ _FRONT = (
     # a8_pivot displaced for the 5p slot: trivial-plan relational row whose
     # sibling a10_unpivot was cut under the same rationale in the 5g swap
     "st8_stream_stream_join",
-    "emb_random_projection",
+    # emb_random_projection displaced for the sitemap-parse slot: its
+    # bit-exact numpy pytest is the strongest derived evidence class, and
+    # the in-window ann_lsh_bucketed now drives the same md5-sign device
+    # through a driver hash row transitively
     "corpus_collocation_topk",
     "link_components",
     "link_triangles",
@@ -166,6 +169,7 @@ _FRONT = (
     "events_ewma",
     "crawl_host_graph",
     "emb_hamming_topk",
+    "crawl_sitemap_parse",
 )
 
 

@@ -750,3 +750,102 @@ def crawl_host_graph(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("self_ratio"),
     )
+
+
+# --- sitemap ingestion ------------------------------------------------------
+SM_HOSTS = 50  # sitemap-host namespace (the robots_longest_prefix device)
+
+
+@q(
+    "crawl_sitemap_parse",
+    f"""
+    WITH u AS (
+      SELECT 'h' || CAST(o_custkey % {SM_HOSTS} AS VARCHAR) AS host,
+             'https://h' || CAST(o_custkey % {SM_HOSTS} AS VARCHAR)
+               || '.example/page/' || CAST(o_orderkey AS VARCHAR) AS loc,
+             CAST(o_orderdate AS VARCHAR) AS lastmod
+      FROM orders),
+    x AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>' || string_agg(
+               '<url><loc>' || loc || '</loc><lastmod>' || lastmod
+               || '</lastmod></url>', '' ORDER BY loc)
+             || '</urlset>' AS xml
+      FROM u GROUP BY host),
+    p AS (
+      SELECT host,
+             regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+             regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+      FROM x)
+    SELECT host, locs[CAST(i AS INT)] AS url,
+           mods[CAST(i AS INT)] AS lastmod,
+           CAST(i AS INT) AS pos
+    FROM p, unnest(generate_series(1, len(locs))) t(i)
+    """,
+)
+def crawl_sitemap_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion — the seed-acquisition path next to S1 text seeds:
+    per-host sitemap XML is synthesized deterministically from ``orders``
+    (the doc_html_extract markup-synthesis device, so both engines see
+    byte-identical files), then PARSED back the way the crawler ingests a
+    real /sitemap.xml: extract the <loc> and <lastmod> streams with one
+    regexp pass each, zip them positionally, and emit one (host, url,
+    lastmod, pos) row per entry — the rows a frontier merge would take as
+    seed inserts with recrawl hints.
+
+    Parity: pure string/regexp work end to end; entries are
+    string_agg'd in explicit loc order so position i is the same entry
+    in both engines; no float anywhere.
+
+    Scale shape: the synthesis groupBy is fixture-only (real sitemaps
+    arrive as fetched documents); the PARSE path — the part that ships —
+    is stateless per sitemap file inside WholeStageCodegen (two
+    regexp_extract_all + one arrays_zip + posexplode), embarrassingly
+    parallel over millions of sitemap files, with the bounded ~50k-URL
+    sitemap-spec file size capping per-row work."""
+    o = load(spark, sf, "orders")
+    host = F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(SM_HOSTS)).cast("string"))
+    u = o.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("o_custkey", F.lit(SM_HOSTS)).cast("string"),
+            F.lit(".example/page/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("loc"),
+        F.col("o_orderdate").cast("string").alias("lastmod"),
+    )
+    x = u.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("loc", "lastmod"))),
+                    lambda s: F.concat(
+                        F.lit("<url><loc>"),
+                        s.loc,
+                        F.lit("</loc><lastmod>"),
+                        s.lastmod,
+                        F.lit("</lastmod></url>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    z = x.select(
+        "host",
+        F.arrays_zip(
+            F.expr(r"regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)"),
+            F.expr(r"regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)"),
+        ).alias("z"),
+    )
+    return z.select(
+        "host", F.posexplode("z").alias("p", "e")
+    ).select(
+        "host",
+        F.col("e").getField("0").alias("url"),
+        F.col("e").getField("1").alias("lastmod"),
+        (F.col("p") + 1).cast("int").alias("pos"),
+    )

@@ -142,6 +142,7 @@ HEADLINE = (
     "emb_hamming_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "crawl_sitemap_parse",
 )
 
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))

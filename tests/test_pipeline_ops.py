@@ -3284,3 +3284,36 @@ def test_hamming_topk_matches_numpy(spark):
     top_mean = np.mean([cos(vecs[c], qv) for c, _, _ in got])
     all_mean = np.mean([cos(v, qv) for k, v in vecs.items() if k != S.BH_QVEC])
     assert top_mean > all_mean
+
+
+def test_sitemap_parse_roundtrip(spark):
+    """Parsed entries must round-trip the synthesized per-host URL set
+    exactly, with positions following loc order and lastmod paired to
+    the right URL."""
+    from collections import defaultdict
+
+    from analytics import crawl_queries as CQ
+    from analytics.common import load
+
+    rows = (
+        load(spark, SF_TEST, "orders")
+        .select("o_orderkey", "o_custkey", F.col("o_orderdate").cast("string").alias("d"))
+        .collect()
+    )
+    per_host = defaultdict(list)
+    for r in rows:
+        h = f"h{r['o_custkey'] % CQ.SM_HOSTS}"
+        per_host[h].append(
+            (f"https://{h}.example/page/{r['o_orderkey']}", r["d"])
+        )
+    want = {}
+    for h, entries in per_host.items():
+        for i, (url, d) in enumerate(sorted(entries), start=1):
+            want[(h, i)] = (url, d)
+    got = {
+        (r["host"], r["pos"]): (r["url"], r["lastmod"])
+        for r in CQ.crawl_sitemap_parse(spark, SF_TEST).collect()
+    }
+    assert got == want
+    # every host must carry multiple entries (real sitemap shape)
+    assert all(len(v) > 1 for v in per_host.values())

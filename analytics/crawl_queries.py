@@ -671,7 +671,8 @@ HG_HOSTS = 211  # same host namespace as the synthetic frontier
            coalesce(in_hosts, 0) AS in_hosts,
            coalesce(self_links, 0) AS self_links,
            -- pure-sink hosts (denominator 0) are NULL on both engines:
-           -- Spark's non-ANSI x/0 is NULL, DuckDB's would be inf
+           -- DuckDB's 0/0 is NULL, and the Spark side guards the division
+           -- with an equivalent F.when (ANSI Spark would otherwise abort)
            CASE WHEN coalesce(self_links, 0) + coalesce(out_links, 0) = 0
                 THEN NULL
                 ELSE round(CAST(coalesce(self_links, 0) AS DOUBLE)
@@ -740,14 +741,15 @@ def crawl_host_graph(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("in_hosts", z).alias("in_hosts"),
         F.coalesce("self_links", z).alias("self_links"),
     )
-    return j.where(
-        (F.col("self_links") + F.col("out_links") > 0) | (F.col("in_links") > 0)
-    ).select(
+    # pure-sink hosts (in-links only) keep the row but have denominator 0:
+    # guard the division — under this build's ANSI-enabled Spark 4 an
+    # unguarded 0/0 aborts the job rather than returning NULL (r05 review,
+    # live repro); DuckDB's 0/0 is NULL and the oracle states the CASE
+    den = F.col("self_links") + F.col("out_links")
+    return j.where((den > 0) | (F.col("in_links") > 0)).select(
         "*",
-        F.round(
-            F.col("self_links").cast("double")
-            / (F.col("self_links") + F.col("out_links")),
-            4,
+        F.when(
+            den > 0, F.round(F.col("self_links").cast("double") / den, 4)
         ).alias("self_ratio"),
     )
 

@@ -754,9 +754,13 @@ def events_ewma(spark: SparkSession, sf: str) -> DataFrame:
         )
         for k in range(EWMA_K)
     )
+    # all-NULL window (e.g. a user's first event has value NULL): den = 0.
+    # DuckDB's 0/0 is NULL; guard the Spark division explicitly — under
+    # this build's ANSI-enabled Spark 4 an unguarded 0/0 would not return
+    # NULL but abort the job with DIVIDE_BY_ZERO (r05 review, live repro)
     return lagged.select(
         "event_id",
         "user_id",
         "vc",
-        F.round(num.cast("double") / den, 4).alias("ewma"),
+        F.when(den > 0, F.round(num.cast("double") / den, 4)).alias("ewma"),
     )

@@ -1839,8 +1839,6 @@ def emb_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     product."""
     from pyspark.sql import Window
 
-    from analytics.common import load
-
     def word(lo: int):
         # shiftleft()'s bit count must be an expression here (it varies per
         # element), so the whole fold is one SQL expression string

@@ -1882,9 +1882,6 @@ def index_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     plans as a trivial exchange; at web scale each leg is served by its
     own index (postings / ANN) and the fusion cost stays O(k) per query
     regardless of corpus size."""
-    from pyspark.sql import Window
-
-    from analytics.common import load
     from analytics.similarity import cosine
 
     tf, df, dl, stats = _bm25_parts(spark, sf)

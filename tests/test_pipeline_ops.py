@@ -3317,3 +3317,80 @@ def test_sitemap_parse_roundtrip(spark):
     assert got == want
     # every host must carry multiple entries (real sitemap shape)
     assert all(len(v) > 1 for v in per_host.values())
+
+
+def test_ewma_null_window_returns_null_not_divide_by_zero(spark, tmp_path):
+    """A user whose leading window is all-NULL values must yield ewma NULL
+    on BOTH engines (DuckDB 0/0 is NULL; unguarded ANSI Spark would abort
+    the job) — r05 review regression."""
+    import datetime
+
+    import duckdb
+
+    from analytics import events as E
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (1, t0, 1, "click", None, "{}"),
+        (2, t0 + datetime.timedelta(minutes=1), 1, "view", 2.5, "{}"),
+        (3, t0, 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r["event_id"]: r["ewma"] for r in E.events_ewma(spark, sf).collect()}
+    assert got[1] is None  # all-NULL window
+    assert got[2] == 250.0  # only the present lag weighs in
+    assert got[3] == 100.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = dict(
+        con.execute(
+            "SELECT event_id, ewma FROM (" + E.ORACLE["events_ewma"] + ")"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_host_graph_pure_sink_null_ratio(spark, tmp_path):
+    """A host with only in-links keeps its row with self_ratio NULL on
+    both engines (the oracle's CASE; Spark's guarded division) — r05
+    review regression."""
+    import duckdb
+
+    from analytics import crawl_queries as CQ
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 1)], "l_partkey long, l_suppkey long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r["host"]: (r["out_links"], r["in_links"], r["self_links"], r["self_ratio"])
+        for r in CQ.crawl_host_graph(spark, sf).collect()
+    }
+    # h0001: 1 self-link (1->1 deduped to cnt 2? no: counts multiplicity),
+    # out to h0002; h0002: pure sink -> ratio NULL
+    assert got["h0002"][3] is None
+    assert got["h0002"][1] == 1 and got["h0002"][0] == 0
+    assert got["h0001"][3] is not None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = {
+        h: (o, i, s, r)
+        for h, o, _oh, i, _ih, s, r in con.execute(
+            "SELECT host, out_links, out_hosts, in_links, in_hosts, "
+            "self_links, self_ratio FROM ("
+            + CQ.ORACLE["crawl_host_graph"]
+            + ")"
+        ).fetchall()
+    }
+    assert got == want

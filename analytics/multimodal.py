@@ -206,28 +206,86 @@ PACK_W = 20  # words per text span
 MEDIA_TOK = 64  # token budget one media span consumes (vision-token cost)
 PACK_CTX = 512  # context-window length in tokens
 
-ORACLE["media_interleaved_pack"] = f"""
-    WITH d AS (
-      SELECT doc_id, source,
+# ------- shared chunk-synthesis device (single-sourced, r05 review) -------
+# media_interleaved_pack and media_caption_pairs must agree on the exact
+# same chunking, media-presence draw and kind mapping (their span sets are
+# cross-checked by pytest), so every piece of the synthesis exists ONCE per
+# engine: editing a threshold edits both ops together.
+_CHUNK_MD5_SQL = "md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR))"
+_MEDIA_PRESENT_SQL = f"substring({_CHUNK_MD5_SQL}, 1, 1) <= '4'"
+_MEDIA_KIND_SQL = f"""CASE WHEN substring({_CHUNK_MD5_SQL}, 2, 1) <= '4' THEN 'image'
+                  WHEN substring({_CHUNK_MD5_SQL}, 2, 1) <= '9' THEN 'audio'
+                  ELSE 'video' END"""
+_CAP_TOK_SQL = f"least({PACK_W}, n_words - i * {PACK_W})"
+
+
+def _chunk_ctes_sql(extra: str = "") -> str:
+    """The d/c oracle CTEs: one row per PACK_W-word chunk of each
+    non-empty doc, carrying ``extra`` columns verbatim."""
+    return f"""d AS (
+      SELECT doc_id,{extra}
              CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words
       FROM documents WHERE length(trim(text)) > 0),
     c AS (
-      SELECT doc_id, source, n_words,
-             unnest(generate_series(
+      SELECT *, unnest(generate_series(
                0, CAST(ceil(n_words / {PACK_W}.0) AS BIGINT) - 1)) AS i
-      FROM d),
+      FROM d)"""
+
+
+def _chunk_rows(d: DataFrame, extra: list) -> DataFrame:
+    """Spark twin of _chunk_ctes_sql: (doc_id, *extra, n_words, i) chunk
+    rows; ``extra`` is a list of (alias, Column) carried through."""
+    return d.select(
+        "doc_id",
+        *[c.alias(a) for a, c in extra],
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("n_words") / F.lit(float(PACK_W))).cast("long") - 1,
+            )
+        ).alias("i"),
+    )
+
+
+def _chunk_md5():
+    return F.md5(
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string"))
+    )
+
+
+def _media_present(h):
+    return F.substring(h, 1, 1) <= "4"
+
+
+def _media_kind(h):
+    return (
+        F.when(F.substring(h, 2, 1) <= "4", "image")
+        .when(F.substring(h, 2, 1) <= "9", "audio")
+        .otherwise("video")
+    )
+
+
+def _cap_tok():
+    return F.least(
+        F.lit(PACK_W).cast("long"), F.col("n_words") - F.col("i") * PACK_W
+    )
+
+
+ORACLE["media_interleaved_pack"] = f"""
+    WITH {_chunk_ctes_sql(" source,")},
     s AS (
       SELECT doc_id, source, 2 * i AS pos, 'text' AS kind,
-             least({PACK_W}, n_words - i * {PACK_W}) AS n_tok
+             {_CAP_TOK_SQL} AS n_tok
       FROM c
       UNION ALL
       SELECT doc_id, source, 2 * i + 1,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '4' THEN 'image'
-                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 2, 1) <= '9' THEN 'audio'
-                  ELSE 'video' END,
+             {_MEDIA_KIND_SQL},
              {MEDIA_TOK}
       FROM c
-      WHERE substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) <= '4'),
+      WHERE {_MEDIA_PRESENT_SQL}),
     p AS (
       SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, pos
                                  ROWS UNBOUNDED PRECEDING) - n_tok AS cum
@@ -245,46 +303,23 @@ def interleave_pack(d: DataFrame) -> DataFrame:
     Returns (doc_id, source, pos, kind, n_tok, seq_id, offset_in_seq)."""
     from pyspark.sql import Window
 
-    base = d.select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
-    ).select(
-        "doc_id",
-        "source",
-        "n_words",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.ceil(F.col("n_words") / F.lit(float(PACK_W))).cast("long") - 1,
-            )
-        ).alias("i"),
-    )
-    h = F.md5(
-        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string"))
-    )
+    base = _chunk_rows(d, [("source", F.col("source"))])
+    h = _chunk_md5()
     text_span = F.struct(
         (2 * F.col("i")).alias("pos"),
         F.lit("text").alias("kind"),
-        F.least(F.lit(PACK_W).cast("long"), F.col("n_words") - F.col("i") * PACK_W)
-        .cast("long")
-        .alias("n_tok"),
-    )
-    media_kind = (
-        F.when(F.substring(h, 2, 1) <= "4", "image")
-        .when(F.substring(h, 2, 1) <= "9", "audio")
-        .otherwise("video")
+        _cap_tok().cast("long").alias("n_tok"),
     )
     media_span = F.struct(
         (2 * F.col("i") + 1).alias("pos"),
-        media_kind.alias("kind"),
+        _media_kind(h).alias("kind"),
         F.lit(MEDIA_TOK).cast("long").alias("n_tok"),
     )
     spans = base.select(
         "doc_id",
         "source",
         F.explode(
-            F.when(F.substring(h, 1, 1) <= "4", F.array(text_span, media_span)).otherwise(
+            F.when(_media_present(h), F.array(text_span, media_span)).otherwise(
                 F.array(text_span)
             )
         ).alias("s"),
@@ -333,32 +368,19 @@ def media_interleaved_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- media→caption pair mining ---------------------------------------------
 ORACLE["media_caption_pairs"] = f"""
-    WITH d AS (
-      SELECT doc_id,
-             string_split_regex(trim(text), ' +') AS words,
-             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
-               AS n_words
-      FROM documents WHERE length(trim(text)) > 0),
-    c AS (
-      SELECT doc_id, words, n_words,
-             unnest(generate_series(
-               0, CAST(ceil(n_words / {PACK_W}.0) AS BIGINT) - 1)) AS i
-      FROM d),
+    WITH {_chunk_ctes_sql('''
+             string_split_regex(trim(text), ' +') AS words,''')},
     m AS (
-      SELECT doc_id, words, i,
-             md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h,
-             least({PACK_W}, n_words - i * {PACK_W}) AS cap_tok
-      FROM c)
+      SELECT doc_id, words, i, {_CAP_TOK_SQL} AS cap_tok
+      FROM c WHERE {_MEDIA_PRESENT_SQL})
     SELECT doc_id,
            CAST(2 * i + 1 AS BIGINT) AS media_pos,
-           CASE WHEN substring(h, 2, 1) <= '4' THEN 'image'
-                WHEN substring(h, 2, 1) <= '9' THEN 'audio'
-                ELSE 'video' END AS kind,
+           {_MEDIA_KIND_SQL} AS kind,
            array_to_string(
              list_slice(words, i * {PACK_W} + 1, i * {PACK_W} + cap_tok),
              ' ') AS caption,
            CAST(cap_tok AS BIGINT) AS cap_tok
-    FROM m WHERE substring(h, 1, 1) <= '4'
+    FROM m
     """
 
 
@@ -386,38 +408,15 @@ def media_caption_pairs(spark: SparkSession, sf: str) -> DataFrame:
     per document, and the pair table partitions naturally by the
     upstream doc layout with no skew surface at all."""
     d = load(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
-    base = d.select(
-        "doc_id",
-        F.split(F.trim("text"), " +").alias("words"),
-        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
-    ).select(
-        "doc_id",
-        "words",
-        "n_words",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.ceil(F.col("n_words") / F.lit(float(PACK_W))).cast("long") - 1,
-            )
-        ).alias("i"),
-    )
-    h = F.md5(
-        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string"))
-    )
-    cap_tok = F.least(
-        F.lit(PACK_W).cast("long"), F.col("n_words") - F.col("i") * PACK_W
-    )
-    kind = (
-        F.when(F.substring(h, 2, 1) <= "4", "image")
-        .when(F.substring(h, 2, 1) <= "9", "audio")
-        .otherwise("video")
-    )
+    base = _chunk_rows(d, [("words", F.split(F.trim("text"), " +"))])
+    h = _chunk_md5()
+    cap_tok = _cap_tok()
     return (
-        base.where(F.substring(h, 1, 1) <= "4")
+        base.where(_media_present(h))
         .select(
             "doc_id",
             (2 * F.col("i") + 1).cast("long").alias("media_pos"),
-            kind.alias("kind"),
+            _media_kind(h).alias("kind"),
             F.array_join(
                 F.slice(
                     F.col("words"),
